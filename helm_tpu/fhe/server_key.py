@@ -1,0 +1,112 @@
+"""Server key generation: bootstrap key (GGSW) and keyswitch key.
+
+Host-side (numpy, exact NTT) generation of the evaluation keys, plus their
+device forms:
+
+- BSK in the NTT/CRT domain with Shoup companions, laid out
+  [n, (k+1)*l, k+1, NP, N] so one scan step slices all rows of GGSW_i.
+- KSK recoded into balanced int8 limbs [4, rows, n+1] feeding the MXU
+  int8 matmul keyswitch (DESIGN.md §3).
+
+Counterpart of the reference's per-mode keygen (src/bin/helm.rs:88,160-192,
+241,301); unlike the reference, keys are arrays, not opaque library objects.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..params import Q, TfheParams
+from . import ntt
+from .lwe import ClientKey, _noise
+from .modring import NUM_PRIMES, get_tables
+
+
+@dataclass
+class ServerKey:
+    """Host (numpy) server key; convert with engines' to_device()."""
+
+    params: TfheParams
+    bsk_ntt: np.ndarray  # uint32 [n, (k+1)*l, k+1, NP, N]
+    bsk_ntt_sh: np.ndarray  # uint32, same shape
+    ksk_limbs: np.ndarray  # int8 [4, k*N*ks_level, n+1]
+
+
+def _glwe_enc_zero_batch(ck: ClientKey, rows: int) -> np.ndarray:
+    """Batch of GLWE encryptions of zero: uint32 [rows, k+1, N]."""
+    p = ck.params
+    tab = get_tables(p.N)
+    a = ck.rng.integers(0, Q, size=(rows, p.k, p.N), dtype=np.uint32)
+    s_ntt = ntt.ntt_fwd(np, ntt.to_residues(np, ck.glwe_key, tab), tab)
+    a_ntt = ntt.ntt_fwd(np, ntt.to_residues(np, a, tab), tab)
+    primes = tab.primes.reshape(NUM_PRIMES, 1)
+    prod = ntt._generic_modmul(np, a_ntt, s_ntt[None, :, :, :], primes)
+    # sum over k mask polys (values < p after modmul; reduce the small sum)
+    acc = prod[:, 0]
+    for c in range(1, p.k):
+        acc = ntt.add_mod(np, acc, prod[:, c], primes)
+    body = ntt.garner_to_u32(np, ntt.ntt_inv(np, acc, tab), tab)
+    body = body + _noise(ck.rng, p.glwe_noise_std, (rows, p.N))
+    return np.concatenate([a, body[:, None, :]], axis=1)
+
+
+def gen_bsk(ck: ClientKey) -> tuple[np.ndarray, np.ndarray]:
+    """GGSW encryptions of each small-key bit, in NTT domain (+Shoup)."""
+    p = ck.params
+    tab = get_tables(p.N)
+    kp1 = p.k + 1
+    levels = p.pbs_level
+    rows_per = kp1 * levels
+    raw = _glwe_enc_zero_batch(ck, p.n * rows_per).reshape(
+        p.n, kp1, levels, kp1, p.N
+    )
+    # add s_i * q/B^(j+1) * X^0 to poly c of row (c, j)
+    for j in range(levels):
+        w = np.uint32(1 << (32 - p.pbs_base_log * (j + 1)))
+        for c in range(kp1):
+            raw[:, c, j, c, 0] += ck.lwe_key * w
+    raw = raw.reshape(p.n, rows_per, kp1, p.N)
+    bsk_ntt = ntt.ntt_fwd(np, ntt.to_residues(np, raw, tab), tab)
+    # move prime axis: to_residues gives [..., NP, N] -> already [n,rows,kp1,NP,N]
+    primes = tab.primes.reshape(NUM_PRIMES, 1).astype(np.uint64)
+    sh = ((bsk_ntt.astype(np.uint64) << 16) // primes).astype(np.uint32)
+    return bsk_ntt, sh
+
+
+def _balanced_limbs(v: np.ndarray) -> np.ndarray:
+    """uint32 [...] -> int8 [4, ...] with v === sum limb_i * 2^(8i) mod 2^32."""
+    x = v.astype(np.int64)
+    out = np.empty((4,) + v.shape, dtype=np.int8)
+    for i in range(4):
+        d = ((x + 128) & 255) - 128
+        out[i] = d.astype(np.int8)
+        x = (x - d) >> 8
+    return out
+
+
+def gen_ksk(ck: ClientKey) -> np.ndarray:
+    """KSK rows enc_small(s_big_i * q/B^(j+1)), i major / level j minor,
+    recoded to balanced int8 limbs [4, big_n*ks_level, n+1]."""
+    p = ck.params
+    s_big = ck.extracted_key  # [kN]
+    rows = p.big_n * p.ks_level
+    msgs = np.zeros((p.big_n, p.ks_level), dtype=np.uint32)
+    for j in range(p.ks_level):
+        w = np.uint32(1 << (32 - p.ks_base_log * (j + 1)))
+        msgs[:, j] = s_big * w
+    a = ck.rng.integers(0, Q, size=(rows, p.n), dtype=np.uint32)
+    dot = (a.astype(np.uint64) * ck.lwe_key.astype(np.uint64)).sum(axis=-1)
+    b = (
+        dot.astype(np.uint32)
+        + msgs.reshape(rows)
+        + _noise(ck.rng, p.lwe_noise_std, (rows,))
+    ).astype(np.uint32)
+    ksk = np.concatenate([a, b[:, None]], axis=-1)  # [rows, n+1]
+    return _balanced_limbs(ksk)
+
+
+def gen_server_key(ck: ClientKey) -> ServerKey:
+    bsk_ntt, bsk_sh = gen_bsk(ck)
+    return ServerKey(ck.params, bsk_ntt, bsk_sh, gen_ksk(ck))

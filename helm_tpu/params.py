@@ -1,0 +1,265 @@
+"""TFHE parameter sets for the TPU engine (q = 2^32 everywhere).
+
+The reference hard-codes parameters per mode (reference: src/bin/helm.rs:81-88
+arith, :141-146 GPU gates, :241 CPU gates, :301 LUTs). We do the same but all
+sets live over q = 2^32 (uint32, the TPU-native word) and carry an explicit
+noise model so tests can assert decryption margins.
+
+Security note: the gates-mode set mirrors the reference's GPU engine
+(concrete-core boolean: n=512, k=1, N=1024, sigma_glwe = 2.98e-8 of the
+torus, PBS decomp (base 2^7, level 3), KS (base 2^2, level 8) — reference:
+src/bin/helm.rs:141-146). The other sets are scaled analogously; all are
+recorded with their modulus-to-noise gap so they can be re-checked with the
+lattice estimator. See SECURITY.md.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+Q = 1 << 32  # ciphertext modulus (uint32 wrapping arithmetic)
+Q_MASK = Q - 1
+
+
+@dataclass(frozen=True)
+class TfheParams:
+    """One TFHE parameter set (LWE + GLWE + PBS + KS + encoding)."""
+
+    name: str
+    n: int  # LWE dimension (small key; ciphertexts the engines carry)
+    k: int  # GLWE dimension
+    N: int  # polynomial size (power of two, <= 2048)
+    pbs_base_log: int  # gadget base B = 2^pbs_base_log for the external product
+    pbs_level: int  # gadget levels l
+    ks_base_log: int  # keyswitch base
+    ks_level: int  # keyswitch levels
+    lwe_noise_std: float  # absolute std-dev in q units (ticks of 2^-32 torus)
+    glwe_noise_std: float  # absolute std-dev in q units
+    # log2 of the number of plaintext slots on the torus *including* the
+    # padding bit. Gates mode uses 3 (slots at multiples of q/8, values
+    # +-q/8); shortint-style modes use message_bits + carry/padding.
+    msg_space_log: int = 3
+    # shortint semantics (LUT / arith modes)
+    message_bits: int = 1
+
+    @property
+    def big_n(self) -> int:
+        """Dimension of the extracted LWE ciphertext (k*N)."""
+        return self.k * self.N
+
+    @property
+    def delta(self) -> int:
+        """Encoding scale: distance between adjacent plaintext slots."""
+        return Q >> self.msg_space_log
+
+    @property
+    def msg_space(self) -> int:
+        return 1 << self.msg_space_log
+
+    @property
+    def pbs_base(self) -> int:
+        return 1 << self.pbs_base_log
+
+    @property
+    def ks_base(self) -> int:
+        return 1 << self.ks_base_log
+
+    # ------------------------------------------------------------------
+    # Noise model (variance propagation, all in q^2 units).
+    # ------------------------------------------------------------------
+    def var_fresh_lwe(self) -> float:
+        return self.lwe_noise_std**2
+
+    def var_pbs_out(self) -> float:
+        """Variance of the LWE(big_n) ciphertext after one blind rotation.
+
+        Standard TFHE external-product analysis: n CMux steps, each adding
+        (k+1) * l * N * (B^2/12) * sigma_bsk^2 from the gadget products plus
+        the decomposition-rounding tail (q/B^l rounding error times the
+        secret), for binary secrets.
+        """
+        b2 = float(self.pbs_base) ** 2
+        main = (
+            self.n
+            * (self.k + 1)
+            * self.pbs_level
+            * self.N
+            * (b2 / 12.0)
+            * (self.glwe_noise_std**2)
+        )
+        eps = float(Q) / (float(self.pbs_base) ** self.pbs_level)
+        tail = self.n * (1.0 + self.k * self.N) * (eps**2) / 24.0
+        return main + tail
+
+    def var_ks(self) -> float:
+        """Variance added by the big_n -> n keyswitch."""
+        main = self.big_n * self.ks_level * (self.lwe_noise_std**2)
+        eps = float(Q) / (float(self.ks_base) ** self.ks_level)
+        tail = self.big_n * (eps**2) / 24.0
+        return main + tail
+
+    def var_modswitch(self) -> float:
+        """Phase variance added by switching the mask to 2N buckets."""
+        step = float(Q) / (2.0 * self.N)
+        return (step**2) * (self.n + 1) / 12.0
+
+    def pbs_failure_log2(self, linear_growth: float = 1.0) -> float:
+        """log2 of per-PBS failure probability.
+
+        The decision margin is half a slot (q / 2^(msg_space_log+1)).
+        `linear_growth` scales the ciphertext variance for linear combos done
+        between bootstraps (e.g. 8 for XOR's doubling, or LUT packing).
+        """
+        var = (self.var_pbs_out() + self.var_ks()) * linear_growth
+        var += self.var_modswitch()
+        sigma = math.sqrt(var)
+        margin = float(Q) / float(1 << (self.msg_space_log + 1))
+        x = margin / (sigma * math.sqrt(2.0))
+        # log2(erfc(x)) ~ -x^2/ln(2) - log2(x*sqrt(pi)) for large x
+        if x > 3.0:
+            return -(x * x) / math.log(2.0) - math.log2(x * math.sqrt(math.pi))
+        return math.log2(max(math.erfc(x), 1e-300))
+
+    def security_gap_bits(self) -> tuple[float, float]:
+        """(LWE, GLWE) modulus-to-noise gaps log2(q/sigma) — smaller = harder."""
+        return (
+            32.0 - math.log2(max(self.lwe_noise_std, 2.0**-4)),
+            32.0 - math.log2(max(self.glwe_noise_std, 2.0**-4)),
+        )
+
+
+# ----------------------------------------------------------------------
+# Production sets
+# ----------------------------------------------------------------------
+
+#: Boolean gates mode. Mirrors the parameters of the reference's GPU engine
+#: (reference: src/bin/helm.rs:141-146): sigma = 2.98e-8 * 2^32 ~= 128.
+GATES_PARAMS = TfheParams(
+    name="gates_v32",
+    n=512,
+    k=1,
+    N=1024,
+    pbs_base_log=7,
+    pbs_level=3,
+    ks_base_log=2,
+    ks_level=8,
+    lwe_noise_std=128.0,
+    glwe_noise_std=128.0,
+    msg_space_log=3,
+    message_bits=1,
+)
+
+#: LUTs mode, 3-bit message space (supports 2- and 3-input LUTs; analog of
+#: tfhe-rs PARAM_MESSAGE_2_CARRY_1 used at reference tests/circuit_test.rs:287
+#: and PARAM_MESSAGE_1_CARRY_1 at src/bin/helm.rs:301).
+LUT_PARAMS = TfheParams(
+    name="lut3_v32",
+    n=700,
+    k=1,
+    N=2048,
+    pbs_base_log=8,
+    pbs_level=3,
+    ks_base_log=2,
+    ks_level=8,
+    lwe_noise_std=64.0,
+    glwe_noise_std=4.0,
+    msg_space_log=4,  # 3 usable message bits + padding bit
+    message_bits=3,
+)
+
+#: Arithmetic mode blocks: 2-bit message + 2-bit carry + padding (analog of
+#: tfhe-rs PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_3_KS_PBS at
+#: src/bin/helm.rs:81-88).
+ARITH_PARAMS = TfheParams(
+    name="arith_m2c2_v32",
+    n=620,
+    k=1,
+    N=2048,
+    pbs_base_log=7,
+    pbs_level=3,
+    ks_base_log=2,
+    ks_level=8,
+    lwe_noise_std=64.0,
+    glwe_noise_std=4.0,
+    msg_space_log=5,  # 2 msg + 2 carry + padding
+    message_bits=2,
+)
+
+# ----------------------------------------------------------------------
+# Fast test sets (tiny, noise-free -> exact pipeline validation)
+# ----------------------------------------------------------------------
+
+TEST_PARAMS = TfheParams(
+    name="test_tiny",
+    n=16,
+    k=1,
+    N=64,
+    pbs_base_log=8,
+    pbs_level=2,
+    ks_base_log=4,
+    ks_level=4,
+    lwe_noise_std=0.0,
+    glwe_noise_std=0.0,
+    msg_space_log=3,
+    message_bits=1,
+)
+
+TEST_PARAMS_LUT = TfheParams(
+    name="test_tiny_lut",
+    n=16,
+    k=1,
+    N=128,
+    pbs_base_log=8,
+    pbs_level=2,
+    ks_base_log=4,
+    ks_level=4,
+    lwe_noise_std=0.0,
+    glwe_noise_std=0.0,
+    msg_space_log=4,
+    message_bits=3,
+)
+
+TEST_PARAMS_ARITH = TfheParams(
+    name="test_tiny_arith",
+    n=16,
+    k=1,
+    N=256,
+    pbs_base_log=8,
+    pbs_level=2,
+    ks_base_log=4,
+    ks_level=4,
+    lwe_noise_std=0.0,
+    glwe_noise_std=0.0,
+    msg_space_log=5,
+    message_bits=2,
+)
+
+#: Small-but-noisy set for statistical noise tests.
+TEST_PARAMS_NOISY = TfheParams(
+    name="test_tiny_noisy",
+    n=64,
+    k=1,
+    N=256,
+    pbs_base_log=6,
+    pbs_level=3,
+    ks_base_log=2,
+    ks_level=7,
+    lwe_noise_std=4.0,
+    glwe_noise_std=4.0,
+    msg_space_log=3,
+    message_bits=1,
+)
+
+ALL_PARAMS = {
+    p.name: p
+    for p in (
+        GATES_PARAMS,
+        LUT_PARAMS,
+        ARITH_PARAMS,
+        TEST_PARAMS,
+        TEST_PARAMS_LUT,
+        TEST_PARAMS_ARITH,
+        TEST_PARAMS_NOISY,
+    )
+}

@@ -1,0 +1,44 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Mirrors the reference's CI strategy (cargo test on CPU; see SURVEY.md §4):
+every kernel has a CPU-exact path, and multi-chip sharding is validated on
+virtual devices without TPU hardware.
+"""
+
+import os
+
+# this image's jax build honors JAX_PLATFORM_NAME (legacy) but not
+# JAX_PLATFORMS; set both, plus the config knob below, to stay off the
+# tunneled TPU during tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running (real parameter sets)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("-m", default=None):
+        return
+    skip = pytest.mark.skip(reason="slow: run with -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
