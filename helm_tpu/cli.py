@@ -1,0 +1,191 @@
+"""helm-tpu CLI — same flags and mode selection as the reference binary.
+
+Reference: src/bin/helm.rs (mode driver) and src/lib.rs:196-285 (arg spec):
+  -v/--verilog FILE, -w/--input-wires W V [WIDTH]..., -i/--input-wires-file,
+  -o/--output-wires-file, -c/--cycles N, -a/--arithmetic TYPE, -p/--verbose.
+`--tpu` replaces the reference's `--gpu` (here every mode runs on the
+accelerator; the flag is accepted for parity and ignored).
+
+Mode selection (helm.rs:67-131): --arithmetic => arith; netlist contains
+`lut` cells => LUTs; otherwise gates.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from . import ascii_art
+from .io import csv_io
+from .circuit.verilog import read_verilog_file
+
+
+def get_input_wire_map(args, arithmetic_type: str) -> dict:
+    """Reference src/lib.rs:113-179."""
+    if args.input_wires_file:
+        print("[✓] Input wires were provided.")
+        return csv_io.read_input_wires(args.input_wires_file, arithmetic_type)
+    if args.input_wires:
+        print("[✓] Input wires were provided.")
+        out = {}
+        for parts in args.input_wires:
+            if len(parts) == 2:
+                out[parts[0]] = csv_io.parse_input_wire(parts[1], arithmetic_type)
+            elif len(parts) == 3 and arithmetic_type == "bool":
+                width = int(parts[2])
+                bits = csv_io.hex_to_bitstring(parts[1].strip())[::-1]
+                for idx in range(width):
+                    out[f"{parts[0]}[{idx}]"] = idx < len(bits) and bits[idx] == "1"
+            else:
+                raise SystemExit("-w input should contain either two or three values")
+        return out
+    print("[!] No input wires specified, they will be initialized to false.")
+    return {"dummy": False}
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="helm-tpu",
+        description="HELM-TPU: encrypted circuit evaluation through gates and lookups, on TPUs",
+    )
+    ap.add_argument("-v", "--verilog", required=True, metavar="FILE")
+    ap.add_argument(
+        "-w",
+        "--input-wires",
+        nargs="+",
+        action="append",
+        metavar=("STRING", "VALUE"),
+        help="Input wire values (-w wire1 value1 [width1] ...)",
+    )
+    ap.add_argument("-i", "--input-wires-file", metavar="FILE")
+    ap.add_argument("-o", "--output-wires-file", metavar="FILE")
+    ap.add_argument(
+        "-a", "--arithmetic", choices=["u8", "u16", "u32", "u64", "u128"]
+    )
+    ap.add_argument("-c", "--cycles", type=int, default=1, metavar="NUMBER")
+    ap.add_argument("-p", "--verbose", action="store_true")
+    ap.add_argument("--tpu", "-g", action="store_true", help="(accepted for parity; always on)")
+    ap.add_argument(
+        "--test-params",
+        action="store_true",
+        help="use tiny noise-free parameters (fast functional runs)",
+    )
+    ap.add_argument("--seed", type=int, default=None, help="key RNG seed")
+    ap.add_argument(
+        "--mesh",
+        type=int,
+        default=0,
+        metavar="N",
+        help="shard gate batches across N devices (0 = single device)",
+    )
+    return ap
+
+
+def _print_outputs(outputs: dict, verbose: bool) -> None:
+    for i, w in enumerate(sorted(outputs)):
+        if i > 10 and not verbose:
+            print("[!] More than ten output_wires, pass `--verbose` to see output.")
+            break
+        print(f" {w}: {outputs[w]}")
+
+
+def main(argv=None) -> int:
+    ascii_art.print_art()
+    args = build_argparser().parse_args(argv)
+
+    if args.arithmetic and args.cycles > 1:
+        raise SystemExit(
+            "Arithmetic does not currently support sequential. Set num_cycles to 1."
+        )
+
+    netlist = read_verilog_file(args.verilog, args.arithmetic is not None)
+    is_sequential = len(netlist.dff_outputs) > 1  # quirk kept: helm.rs:49
+    if args.cycles > 1 and not is_sequential:
+        raise SystemExit("[!] Cannot run combinational circuit for more than one cycles.")
+
+    if args.arithmetic:
+        return _run_arith(args, netlist)
+    return _run_boolean(args, netlist)
+
+
+def _run_boolean(args, netlist) -> int:
+    from . import params as P
+    from .engines.boolean import BooleanEngine
+
+    mode = "lut" if netlist.has_luts else "gates"
+    print(f" -- {'LUTs' if mode == 'lut' else 'Gates'} mode --")
+    input_wire_map = get_input_wire_map(args, "bool")
+
+    start = time.time()
+    if args.test_params:
+        params = P.TEST_PARAMS if mode == "gates" else P.TEST_PARAMS_LUT
+    else:
+        params = None
+    engine = BooleanEngine(mode=mode, params=params, seed=args.seed)
+    print(f"KeyGen done in {time.time() - start} seconds.")
+    engine.compile(netlist)
+    if args.mesh:
+        from .parallel.mesh import shard_engine
+
+        shard_engine(engine, args.mesh)
+
+    start = time.time()
+    wires = engine.encrypt_inputs(input_wire_map)
+    valid = engine.init_ready() if engine.has_ready() else None
+    print(f"Encryption done in {time.time() - start} seconds.")
+
+    ready_flag = False
+    for cycle in range(args.cycles):
+        start = time.time()
+        wires = engine.evaluate(wires, verbose=args.verbose)
+        if args.cycles > 1 and engine.has_ready():
+            ready_flag = True
+            valid = engine.evaluate_ready(wires, valid)
+        wires.block_until_ready()
+        print(f"Cycle {cycle}) Evaluation done in {time.time() - start} seconds.\n")
+
+    start = time.time()
+    print("Encrypted Evaluation:")
+    if ready_flag:
+        outputs = engine.decrypt_outputs(valid, from_valid=True)
+    else:
+        outputs = engine.decrypt_outputs(wires)
+    _print_outputs(outputs, args.verbose)
+    csv_io.write_output_wires(args.output_wires_file, outputs)
+    print(f"Decryption done in {time.time() - start} seconds.")
+    return 0
+
+
+def _run_arith(args, netlist) -> int:
+    from . import params as P
+    from .engines.arith import ArithEngine
+
+    print(f" -- Arithmetic mode with {args.arithmetic} --")
+    input_wire_map = get_input_wire_map(args, args.arithmetic)
+
+    start = time.time()
+    params = P.TEST_PARAMS_ARITH if args.test_params else None
+    engine = ArithEngine(args.arithmetic, params=params, seed=args.seed)
+    print(f"KeyGen done in {time.time() - start} seconds.")
+    engine.compile(netlist)
+
+    start = time.time()
+    wires = engine.encrypt_inputs(input_wire_map)
+    print(f"Encryption done in {time.time() - start} seconds.")
+
+    start = time.time()
+    wires = engine.evaluate(wires, verbose=args.verbose)
+    print(f"Evaluation done in {time.time() - start} seconds.\n")
+
+    start = time.time()
+    print("Encrypted Evaluation:")
+    outputs = engine.decrypt_outputs(wires)
+    _print_outputs(outputs, args.verbose)
+    csv_io.write_output_wires(args.output_wires_file, outputs)
+    print(f"Decryption done in {time.time() - start} seconds.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

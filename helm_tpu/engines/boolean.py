@@ -1,0 +1,269 @@
+"""Boolean engines: gates mode and LUTs mode.
+
+TPU counterparts of the reference's GateCircuit (circuit.rs:449-577) and
+LutCircuit (circuit.rs:969-1111). The wire map is a dense device array
+uint32[W, n+1]; every level executes as one jitted step: gather inputs,
+per-gate linear combination, ONE batched PBS over all slots, scatter,
+vectorized linear ops. Sequential circuits loop `evaluate` per cycle with
+DFF state copies on the final level; the READY protocol latches outputs
+obliviously (circuit.rs:482-504, 1002-1030).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..circuit.graph import Circuit
+from ..circuit.plan import CircuitPlan, LevelPlan, Q8, binarize, build_plan
+from ..circuit.verilog import Netlist
+from ..fhe import lwe, pbs_jnp
+from ..fhe.server_key import gen_server_key
+from ..params import GATES_PARAMS, LUT_PARAMS, Q, TfheParams
+
+
+@partial(jax.jit, donate_argnums=(1,))
+def _pbs_level_step(
+    dsk,
+    wires,
+    slot_in,
+    slot_coef,
+    slot_off,
+    slot_dst,
+    testv,
+    mux_pairs,
+    mux_dst,
+    lin_src,
+    lin_coef,
+    lin_off,
+    lin_dst,
+):
+    n = dsk.params.n
+    ins = wires[slot_in]  # [S, 3, n+1]
+    coef = slot_coef[..., None].astype(jnp.uint32)
+    pre = jnp.sum(ins * coef, axis=1, dtype=jnp.uint32)
+    pre = pre.at[:, n].add(slot_off)
+    outs = pbs_jnp.bootstrap(dsk, pre, testv)
+    wires = wires.at[slot_dst].set(outs)
+    mval = outs[mux_pairs[:, 0]] + outs[mux_pairs[:, 1]]
+    mval = mval.at[:, n].add(jnp.uint32(Q8))
+    wires = wires.at[mux_dst].set(mval)
+    lv = wires[lin_src] * lin_coef[:, None].astype(jnp.uint32)
+    lv = lv.at[:, n].add(lin_off)
+    return wires.at[lin_dst].set(lv)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _lin_level_step(wires, lin_src, lin_coef, lin_off, lin_dst):
+    n1 = wires.shape[1] - 1
+    lv = wires[lin_src] * lin_coef[:, None].astype(jnp.uint32)
+    lv = lv.at[:, n1].add(lin_off)
+    return wires.at[lin_dst].set(lv)
+
+
+@jax.jit
+def _ready_step_gates(dsk, ready, new, valid, testv):
+    """valid <- mux(READY, new, valid), batched as one PBS launch."""
+    n = dsk.params.n
+    off = jnp.uint32((-Q8) % Q)
+    pre1 = (ready[None] + new).at[:, n].add(off)
+    pre2 = (valid - ready[None]).at[:, n].add(off)
+    outs = pbs_jnp.bootstrap(dsk, jnp.concatenate([pre1, pre2]), testv)
+    s1, s2 = outs[: new.shape[0]], outs[new.shape[0] :]
+    return (s1 + s2).at[:, n].add(jnp.uint32(Q8))
+
+
+@jax.jit
+def _ready_step_lut(dsk, ready, new, valid, testv_and, delta):
+    """valid <- new*READY + valid*(1-READY) (circuit.rs:1012-1030)."""
+    n = dsk.params.n
+    not_ready = (jnp.uint32(0) - ready).at[n].add(delta)
+    pre1 = 2 * new + ready[None]
+    pre2 = 2 * valid + not_ready[None]
+    outs = pbs_jnp.bootstrap(dsk, jnp.concatenate([pre1, pre2]), testv_and)
+    return outs[: new.shape[0]] + outs[new.shape[0] :]
+
+
+class BooleanEngine:
+    """Gates- or LUTs-mode encrypted circuit evaluator."""
+
+    def __init__(self, mode: str = "gates", params: TfheParams | None = None, seed=None):
+        assert mode in ("gates", "lut")
+        self.mode = mode
+        self.params = params or (GATES_PARAMS if mode == "gates" else LUT_PARAMS)
+        self.client_key = lwe.keygen(self.params, seed)
+        self.dsk = pbs_jnp.DeviceServerKey.from_host(gen_server_key(self.client_key))
+        self.plan: CircuitPlan | None = None
+        self._testv_gates = jnp.asarray(pbs_jnp.gates_test_poly(self.params))
+        if mode == "lut":
+            and_tab = [
+                ((m >> 1) & 1) & (m & 1) for m in range(self.params.msg_space // 2)
+            ]
+            self._testv_and = jnp.asarray(
+                pbs_jnp.lut_test_poly(self.params, np.array(and_tab, np.uint64))
+            )[None, :]
+
+    # -- compilation ---------------------------------------------------
+    def compile(self, netlist: Netlist) -> None:
+        gates = binarize(netlist.gates)
+        circuit = Circuit(
+            gates, netlist.inputs, netlist.outputs, netlist.dff_outputs
+        )
+        circuit.sort_circuit()
+        circuit.compute_levels()
+        self.plan = build_plan(
+            circuit,
+            netlist.wire_set,
+            self.params,
+            self.mode,
+            lut_test_poly_fn=lambda tab: pbs_jnp.lut_test_poly(self.params, tab),
+        )
+        self._testv_bank = (
+            jnp.asarray(self.plan.testv_bank)
+            if self.plan.testv_bank is not None
+            else None
+        )
+        self._dev_levels = [
+            {
+                "slot_in": jnp.asarray(lp.slot_in),
+                "slot_coef": jnp.asarray(lp.slot_coef),
+                "slot_off": jnp.asarray(lp.slot_off),
+                "slot_dst": jnp.asarray(lp.slot_dst),
+                "testv_sel": (
+                    jnp.asarray(lp.testv_sel) if lp.testv_sel is not None else None
+                ),
+                "mux_pairs": jnp.asarray(lp.mux_pairs),
+                "mux_dst": jnp.asarray(lp.mux_dst),
+                "lin_src": jnp.asarray(lp.lin_src),
+                "lin_coef": jnp.asarray(lp.lin_coef),
+                "lin_off": jnp.asarray(lp.lin_off),
+                "lin_dst": jnp.asarray(lp.lin_dst),
+            }
+            for lp in self.plan.levels
+        ]
+
+    # -- client role ---------------------------------------------------
+    def _encode(self, v) -> np.ndarray:
+        if self.mode == "gates":
+            return lwe.encode_bool(bool(v))
+        return lwe.encode_msg(self.params, int(bool(v)))
+
+    def encrypt_inputs(self, input_wire_map: dict) -> jax.Array:
+        """Reference EvalCircuit::encrypt_inputs (circuit.rs:450-480)."""
+        assert self.plan is not None
+        p = self.params
+        zero = self._encode(False)
+        wires = np.zeros((self.plan.num_wires, p.n + 1), dtype=np.uint32)
+        wires[:, p.n] = zero  # trivial encryptions of false/0
+        dummy = not input_wire_map or "dummy" in input_wire_map
+        dff = set(self.plan.dff_outputs)
+        for w in self.plan.input_wires:
+            if w in dff:
+                continue
+            if dummy:
+                val = False
+            elif w not in input_wire_map:
+                raise KeyError(f'Input wire "{w}" not found in input wires!')
+            else:
+                val = input_wire_map[w]
+            wires[self.plan.wire_index[w]] = lwe.encrypt(
+                self.client_key, self._encode(val)
+            )
+        for w in self.plan.dff_outputs:
+            wires[self.plan.wire_index[w]] = lwe.encrypt(
+                self.client_key, self._encode(False)
+            )
+        return jnp.asarray(wires)
+
+    # -- evaluation ----------------------------------------------------
+    def evaluate(self, wires: jax.Array, verbose: bool = False) -> jax.Array:
+        assert self.plan is not None
+        total = len(self._dev_levels)
+        for i, lp in enumerate(self._dev_levels):
+            if lp["slot_in"].shape[0] == 0:
+                wires = _lin_level_step(
+                    wires, lp["lin_src"], lp["lin_coef"], lp["lin_off"], lp["lin_dst"]
+                )
+            else:
+                if self.mode == "lut":
+                    testv = self._testv_bank[lp["testv_sel"]]
+                else:
+                    testv = self._testv_gates
+                wires = _pbs_level_step(
+                    self.dsk,
+                    wires,
+                    lp["slot_in"],
+                    lp["slot_coef"],
+                    lp["slot_off"],
+                    lp["slot_dst"],
+                    testv,
+                    lp["mux_pairs"],
+                    lp["mux_dst"],
+                    lp["lin_src"],
+                    lp["lin_coef"],
+                    lp["lin_off"],
+                    lp["lin_dst"],
+                )
+            if verbose:
+                print(f"  Evaluated gates in level [{i + 1}/{total}]")
+        return wires
+
+    # -- READY protocol ------------------------------------------------
+    def has_ready(self) -> bool:
+        return self.plan is not None and "READY" in self.plan.wire_index
+
+    def init_ready(self) -> jax.Array:
+        """Trivial-zero latches for output wires (circuit.rs:482-490)."""
+        p = self.params
+        n_out = len(self.plan.output_wires)
+        valid = np.zeros((n_out, p.n + 1), dtype=np.uint32)
+        valid[:, p.n] = self._encode(False)
+        return jnp.asarray(valid)
+
+    def evaluate_ready(self, wires: jax.Array, valid: jax.Array) -> jax.Array:
+        idx = jnp.asarray(
+            [self.plan.wire_index[w] for w in self.plan.output_wires],
+            dtype=jnp.int32,
+        )
+        ready = wires[self.plan.wire_index["READY"]]
+        new = wires[idx]
+        if self.mode == "gates":
+            return _ready_step_gates(self.dsk, ready, new, valid, self._testv_gates)
+        return _ready_step_lut(
+            self.dsk,
+            ready,
+            new,
+            valid,
+            self._testv_and,
+            jnp.uint32(self.params.delta),
+        )
+
+    # -- decryption ----------------------------------------------------
+    def decrypt_outputs(self, wires: jax.Array, from_valid: bool = False) -> dict:
+        host = np.asarray(wires)
+        out = {}
+        for i, w in enumerate(self.plan.output_wires):
+            row = host[i] if from_valid else host[self.plan.wire_index[w]]
+            ph = lwe.decrypt_phase(self.client_key, row)
+            if self.mode == "gates":
+                out[w] = bool(lwe.decode_bool(ph))
+            else:
+                out[w] = int(lwe.decode_msg(self.params, ph))
+        return out
+
+    def decrypt_all_wires(self, wires: jax.Array) -> dict:
+        """Every wire, not just outputs — the reference tests assert equality
+        on all wires (tests/circuit_test.rs:91-93)."""
+        host = np.asarray(wires)
+        out = {}
+        for w, i in self.plan.wire_index.items():
+            ph = lwe.decrypt_phase(self.client_key, host[i])
+            if self.mode == "gates":
+                out[w] = bool(lwe.decode_bool(ph))
+            else:
+                out[w] = int(lwe.decode_msg(self.params, ph))
+        return out

@@ -71,7 +71,7 @@ def _bit_reverse(x: int, bits: int) -> int:
     return r
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)  # identity hash: safe as jit static aux
 class NttTables:
     """Per-N twiddle tables for all primes, plus Garner CRT constants.
 

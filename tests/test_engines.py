@@ -1,0 +1,148 @@
+"""End-to-end encrypted engine tests vs the plaintext oracle.
+
+Mirrors the reference's integration strategy (tests/circuit_test.rs): parse
+-> levelize -> oracle -> encrypt -> evaluate -> decrypt -> assert equality
+on every wire.
+"""
+
+import numpy as np
+import pytest
+
+from helm_tpu import params as P
+from helm_tpu.circuit.graph import Circuit
+from helm_tpu.circuit.verilog import read_verilog_file
+from helm_tpu.engines.boolean import BooleanEngine
+from helm_tpu.io import csv_io
+
+
+@pytest.fixture(scope="module")
+def gates_engine():
+    return BooleanEngine(mode="gates", params=P.TEST_PARAMS, seed=99)
+
+
+@pytest.fixture(scope="module")
+def lut_engine():
+    return BooleanEngine(mode="lut", params=P.TEST_PARAMS_LUT, seed=98)
+
+
+def _oracle(netlist, inputs):
+    c = Circuit.from_netlist(netlist)
+    return c.evaluate(c.initialize_wire_map(netlist.wire_set, inputs))
+
+
+def test_encrypted_two_bit_adder_all_wires(gates_engine):
+    # reference tests/circuit_test.rs:48-94
+    nl = read_verilog_file("benchmarks/netlists/2-bit-adder.v")
+    inputs = csv_io.read_input_wires(
+        "benchmarks/test-cases/2-bit-adder.inputs.csv", "bool"
+    )
+    exp = _oracle(nl, inputs)
+    e = gates_engine
+    e.compile(nl)
+    wires = e.evaluate(e.encrypt_inputs(inputs))
+    got = e.decrypt_all_wires(wires)
+    for w, v in exp.items():
+        assert got[w] == v, w
+
+
+def test_encrypted_mux_and_consts(gates_engine):
+    src = """
+module m(a, b, s, y, o1, o0);
+  input a, b, s;
+  output y, o1, o0;
+  mux g0(a, b, s, y);
+  cone g1(o1);
+  czero g2(o0);
+endmodule
+"""
+    from helm_tpu.circuit.verilog import parse_verilog
+
+    nl = parse_verilog(src)
+    e = gates_engine
+    e.compile(nl)
+    for a, b, s in [(0, 0, 0), (1, 0, 1), (0, 1, 1), (1, 0, 0)]:
+        inputs = {"a": bool(a), "b": bool(b), "s": bool(s)}
+        out = e.decrypt_outputs(e.evaluate(e.encrypt_inputs(inputs)))
+        assert out["y"] == (bool(a) if s else bool(b)), (a, b, s)
+        assert out["o1"] is True and out["o0"] is False
+
+
+def test_encrypted_s27_sequential(gates_engine):
+    nl = read_verilog_file("benchmarks/netlists/s27.v")
+    c = Circuit.from_netlist(read_verilog_file("benchmarks/netlists/s27.v"))
+    inputs = {"G0": False, "G1": True, "G2": False, "G3": True}
+    e = gates_engine
+    e.compile(nl)
+    wires = e.encrypt_inputs(inputs)
+    state = c.initialize_wire_map(nl.wire_set, inputs)
+    for cycle in range(3):
+        wires = e.evaluate(wires)
+        state = c.evaluate(state)
+        got = e.decrypt_all_wires(wires)
+        for w, v in state.items():
+            assert got[w] == v, (cycle, w)
+
+
+def test_encrypted_lut_adder_8bit(lut_engine):
+    # reference tests/circuit_test.rs:267-312 (8-bit LUT adder vs oracle)
+    nl = read_verilog_file("benchmarks/netlists/8-bit-adder-lut-3-1.v")
+    e = lut_engine
+    e.compile(nl)
+    for a, b, cin in [(173, 94, 1), (255, 1, 0)]:
+        inputs = {f"a[{i}]": bool(a >> i & 1) for i in range(8)}
+        inputs |= {f"b[{i}]": bool(b >> i & 1) for i in range(8)}
+        inputs["cin"] = bool(cin)
+        exp = _oracle(nl, inputs)
+        out = e.decrypt_all_wires(e.evaluate(e.encrypt_inputs(inputs)))
+        for w, v in exp.items():
+            assert out[w] == int(bool(v)), w
+
+
+def test_encrypted_lut_bivariate_and_unary(lut_engine):
+    src = """
+module m(a, b, y2, y1);
+  input a, b;
+  output y2, y1;
+  lut g0(6, a, b, y2);
+  lut g1(1, a, y1);
+endmodule
+"""
+    from helm_tpu.circuit.verilog import parse_verilog
+
+    nl = parse_verilog(src)
+    e = lut_engine
+    e.compile(nl)
+    for a, b in [(0, 0), (0, 1), (1, 0), (1, 1)]:
+        out = e.decrypt_outputs(
+            e.evaluate(e.encrypt_inputs({"a": bool(a), "b": bool(b)}))
+        )
+        assert out["y2"] == (a ^ b), (a, b)  # lut const 6 = XOR
+        assert out["y1"] == (1 - a), (a, b)  # lut const 1 = NOT
+
+
+def test_ready_protocol_gates(gates_engine):
+    # READY high on cycle>=2 latches outputs obliviously (circuit.rs:492-504)
+    src = """
+module seq(a, out);
+  input a;
+  output out;
+  dff d0(n1, s1);
+  dff d1(s1, READY);
+  not g0(a, n1);
+  buf g1(s1, out);
+endmodule
+"""
+    from helm_tpu.circuit.verilog import parse_verilog
+
+    nl = parse_verilog(src)
+    e = gates_engine
+    e.compile(nl)
+    assert e.has_ready()
+    wires = e.encrypt_inputs({"a": False})
+    valid = e.init_ready()
+    for _ in range(3):
+        wires = e.evaluate(wires)
+        valid = e.evaluate_ready(wires, valid)
+    out = e.decrypt_outputs(valid, from_valid=True)
+    # s1 latches NOT(a)=1 after cycle 1; READY goes high at cycle 2
+    assert out["out"] is True
