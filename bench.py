@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Benchmark: gate bootstraps/sec/chip at production gates-mode parameters.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline anchor: the reference (TrustworthyComputing/helm) evaluates gates
+with tfhe-rs CPU gate bootstraps (~10 ms each single-threaded on a server
+core; rayon-parallel across cores — reference circuit.rs:531). The repo
+publishes no numbers and Rust is unavailable in this image to measure it, so
+the anchor is a documented estimate: 64 cores x ~100 bootstraps/s =
+6400 bootstraps/s for a well-provisioned HELM CPU host (consistent with
+tfhe-rs public benchmarks for default boolean parameters).
+"""
+
+import json
+import os
+import sys
+import time
+
+HELM_CPU_BASELINE_BS_PER_SEC = 6400.0
+
+
+def main():
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from helm_tpu import params as P
+    from helm_tpu.fhe import lwe, pbs_jnp
+    from helm_tpu.fhe.server_key import gen_server_key
+
+    G = int(os.environ.get("BENCH_BATCH", "256"))
+    iters = int(os.environ.get("BENCH_ITERS", "4"))
+    p = P.GATES_PARAMS
+
+    ck = lwe.keygen(p, seed=2024)
+    dsk = pbs_jnp.DeviceServerKey.from_host(gen_server_key(ck))
+
+    rng = np.random.default_rng(0)
+    bits1 = rng.integers(0, 2, G).astype(bool)
+    bits2 = rng.integers(0, 2, G).astype(bool)
+    lin = (lwe.encrypt(ck, lwe.encode_bool(bits1)) + lwe.encrypt(ck, lwe.encode_bool(bits2))).astype(np.uint32)
+    lin[:, p.n] += np.uint32((-(1 << 29)) % (1 << 32))
+    testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
+    x = jnp.asarray(lin)
+
+    bs = jax.jit(pbs_jnp.bootstrap)
+    out = bs(dsk, x, testv)
+    out.block_until_ready()  # compile + warmup
+
+    # correctness spot check before timing
+    got = lwe.decode_bool(lwe.decrypt_phase(ck, np.asarray(out)))
+    exp = bits1 & bits2
+    assert (got == exp).all(), "bootstrap outputs wrong — not benchmarking a broken kernel"
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = bs(dsk, x, testv)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    value = G * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "gate_bootstraps_per_sec_per_chip",
+                "value": round(value, 2),
+                "unit": "bootstraps/s",
+                "vs_baseline": round(value / HELM_CPU_BASELINE_BS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

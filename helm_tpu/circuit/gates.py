@@ -123,7 +123,9 @@ def evaluate_arith_ptxt(gate: Gate, a: int, b: int | None, width: int) -> int:
     if t == GateType.MULT:
         return (a * b) & mask
     if t == GateType.DIV:
-        return (a // b) & mask if b else 0
+        # div-by-zero yields all-ones (restoring-division semantics; the
+        # encrypted engine behaves identically)
+        return (a // b) & mask if b else mask
     if t == GateType.SHL:
         return (a << b) & mask if b < width else 0
     if t == GateType.SHR:

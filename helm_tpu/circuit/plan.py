@@ -95,6 +95,7 @@ def build_plan(
     params: TfheParams,
     mode: str,
     lut_test_poly_fn=None,
+    min_slots: int = 1,
 ) -> CircuitPlan:
     all_wires = sorted(
         set(wire_set) | set(circuit.input_wires) | set(circuit.dff_outputs)
@@ -196,7 +197,7 @@ def build_plan(
                     f"gate type {t.value} not supported in {mode} mode"
                 )
 
-        S = _pad_pow2(len(slots_in)) if slots_in else 0
+        S = _pad_pow2(len(slots_in), min_slots) if slots_in else 0
         while len(slots_in) < S:
             add_slot([0], [0], np.uint32(0), trash, 0)
         M = _pad_pow2(len(mux_pairs)) if mux_pairs else 0

@@ -124,11 +124,11 @@ def _run_boolean(args, netlist) -> int:
         params = None
     engine = BooleanEngine(mode=mode, params=params, seed=args.seed)
     print(f"KeyGen done in {time.time() - start} seconds.")
-    engine.compile(netlist)
     if args.mesh:
         from .parallel.mesh import shard_engine
 
         shard_engine(engine, args.mesh)
+    engine.compile(netlist)
 
     start = time.time()
     wires = engine.encrypt_inputs(input_wire_map)

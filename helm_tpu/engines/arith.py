@@ -1,0 +1,171 @@
+"""Arithmetic-mode engine: radix integers over behavioral netlists.
+
+Counterpart of the reference's ArithCircuit (src/circuit.rs:1113-1483):
+wires carry encrypted u8..u128 radix integers; gates are add/sub/mult/div/
+shl/shr/copy with ciphertext (x) ciphertext and ciphertext (x) plaintext
+variants (numeric-literal wire names are plaintext operands,
+circuit.rs:1330-1334). Combinational only, like the reference
+(src/bin/helm.rs:33-36).
+
+Per level, gates are grouped by op kind and each group executes as batched
+radix ops (engines/radix.py) — the TPU analog of the reference's
+per-gate-type grouping in its CUDA engine.
+
+Positional note: the reference always computes `ct OP pt` regardless of the
+literal's position (circuit.rs:1337-1361); we evaluate positionally
+(`5 - x` means 5-x) by trivially encrypting the literal, which matches the
+plaintext oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..circuit.gates import GateType
+from ..circuit.graph import Circuit, _is_numeric
+from ..circuit.verilog import Netlist
+from ..fhe import lwe, pbs_jnp
+from ..fhe.server_key import gen_server_key
+from ..params import ARITH_PARAMS, TfheParams
+from .radix import WIDTH_BLOCKS, RadixOps, trivial_blocks
+
+
+class ArithEngine:
+    def __init__(
+        self, ptxt_type: str, params: TfheParams | None = None, seed=None
+    ):
+        assert ptxt_type in WIDTH_BLOCKS, ptxt_type
+        self.ptxt_type = ptxt_type
+        self.nb = WIDTH_BLOCKS[ptxt_type]
+        self.width = 2 * self.nb
+        self.params = params or ARITH_PARAMS
+        self.client_key = lwe.keygen(self.params, seed)
+        self.dsk = pbs_jnp.DeviceServerKey.from_host(gen_server_key(self.client_key))
+        self.ops = RadixOps(self.params, self.dsk)
+        self.plan = None
+
+    def compile(self, netlist: Netlist) -> None:
+        circuit = Circuit(
+            netlist.gates, netlist.inputs, netlist.outputs, netlist.dff_outputs
+        )
+        circuit.sort_circuit()
+        circuit.compute_levels()
+        wires = sorted(
+            set(netlist.wire_set) | set(netlist.inputs) | set(netlist.dff_outputs)
+        )
+        self.wire_index = {w: i for i, w in enumerate(wires)}
+        self.circuit = circuit
+        self.netlist = netlist
+
+    # -- client role ---------------------------------------------------
+    def _encrypt_value(self, value: int) -> np.ndarray:
+        blocks = [(value >> (2 * i)) & 3 for i in range(self.nb)]
+        return lwe.encrypt(
+            self.client_key, lwe.encode_msg(self.params, np.array(blocks))
+        )
+
+    def encrypt_inputs(self, input_wire_map: dict) -> jax.Array:
+        p = self.params
+        W = len(self.wire_index)
+        wires = np.zeros((W, self.nb, p.n + 1), dtype=np.uint32)
+        dummy = not input_wire_map or "dummy" in input_wire_map
+        dff = set(self.netlist.dff_outputs)
+        for w in self.circuit.input_wires:
+            if w in dff:
+                continue
+            if dummy:
+                val = 0
+            elif w not in input_wire_map:
+                raise KeyError(f'Input wire "{w}" not found in input wires!')
+            else:
+                val = int(input_wire_map[w])
+            wires[self.wire_index[w]] = self._encrypt_value(val)
+        for w in dff:
+            wires[self.wire_index[w]] = self._encrypt_value(0)
+        return jnp.asarray(wires)
+
+    # -- evaluation ----------------------------------------------------
+    def evaluate(self, wires: jax.Array, verbose: bool = False) -> jax.Array:
+        ops = self.ops
+        levels = self.circuit.levels
+        for li, (_, gates) in enumerate(levels):
+            groups: dict[GateType, list] = {}
+            for g in gates:
+                groups.setdefault(g.type, []).append(g)
+            for t, gs in groups.items():
+                if t == GateType.COPY:
+                    src = jnp.asarray(
+                        [self.wire_index[g.inputs[0]] for g in gs], dtype=jnp.int32
+                    )
+                    dst = jnp.asarray(
+                        [self.wire_index[g.output] for g in gs], dtype=jnp.int32
+                    )
+                    wires = wires.at[dst].set(wires[src])
+                    continue
+                B = len(gs)
+                xs = [self._opnd(wires, g.inputs[0], B) for g in gs]
+                ys = [self._opnd(wires, g.inputs[1], B) for g in gs]
+                x = jnp.stack(xs)
+                if t in (GateType.SHL, GateType.SHR):
+                    # plain amounts take the cheap relabel path
+                    amounts = [
+                        int(g.inputs[1]) if _is_numeric(g.inputs[1]) else None
+                        for g in gs
+                    ]
+                    if all(a is not None for a in amounts):
+                        outs = []
+                        for gi, g in enumerate(gs):
+                            outs.append(
+                                ops.shift_plain(
+                                    x[gi : gi + 1], amounts[gi], t == GateType.SHL
+                                )[0]
+                            )
+                        res = jnp.stack(outs)
+                    else:
+                        y = jnp.stack(ys)
+                        res = ops.shift_ct(x, y, t == GateType.SHL)
+                else:
+                    y = jnp.stack(ys)
+                    if t == GateType.ADD:
+                        res = ops.add(x, y)
+                    elif t == GateType.SUB:
+                        res = ops.sub(x, y)
+                    elif t == GateType.MULT:
+                        res = ops.mul(x, y)
+                    elif t == GateType.DIV:
+                        res = ops.div(x, y)
+                    else:
+                        raise ValueError(f"unsupported arith gate {t}")
+                dst = jnp.asarray(
+                    [self.wire_index[g.output] for g in gs], dtype=jnp.int32
+                )
+                wires = wires.at[dst].set(res)
+            if verbose:
+                print(f"  Evaluated gates in level [{li + 1}/{len(levels)}]")
+        return wires
+
+    def _opnd(self, wires, name: str, batch: int):
+        if _is_numeric(name):
+            return trivial_blocks(self.params, int(name), self.nb, 1)[0]
+        return wires[self.wire_index[name]]
+
+    # -- decryption ----------------------------------------------------
+    def _decrypt_value(self, ct_blocks: np.ndarray) -> int:
+        ph = lwe.decrypt_phase(self.client_key, ct_blocks)
+        msgs = lwe.decode_msg(self.params, ph) % 4
+        return int(sum(int(m) << (2 * i) for i, m in enumerate(msgs)))
+
+    def decrypt_outputs(self, wires: jax.Array) -> dict:
+        host = np.asarray(wires)
+        return {
+            w: self._decrypt_value(host[self.wire_index[w]])
+            for w in self.circuit.output_wires
+        }
+
+    def decrypt_all_wires(self, wires: jax.Array) -> dict:
+        host = np.asarray(wires)
+        return {
+            w: self._decrypt_value(host[i]) for w, i in self.wire_index.items()
+        }

@@ -26,8 +26,9 @@ from ..fhe.server_key import gen_server_key
 from ..params import GATES_PARAMS, LUT_PARAMS, Q, TfheParams
 
 
-@partial(jax.jit, donate_argnums=(1,))
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
 def _pbs_level_step(
+    shard,
     dsk,
     wires,
     slot_in,
@@ -47,6 +48,11 @@ def _pbs_level_step(
     coef = slot_coef[..., None].astype(jnp.uint32)
     pre = jnp.sum(ins * coef, axis=1, dtype=jnp.uint32)
     pre = pre.at[:, n].add(slot_off)
+    if shard is not None:
+        # gate-parallel across the mesh: the PBS batch is the scaling axis
+        pre = jax.lax.with_sharding_constraint(pre, shard)
+        if testv.shape[0] == pre.shape[0]:
+            testv = jax.lax.with_sharding_constraint(testv, shard)
     outs = pbs_jnp.bootstrap(dsk, pre, testv)
     wires = wires.at[slot_dst].set(outs)
     mval = outs[mux_pairs[:, 0]] + outs[mux_pairs[:, 1]]
@@ -98,6 +104,9 @@ class BooleanEngine:
         self.client_key = lwe.keygen(self.params, seed)
         self.dsk = pbs_jnp.DeviceServerKey.from_host(gen_server_key(self.client_key))
         self.plan: CircuitPlan | None = None
+        self._batch_shard = None
+        self._repl_shard = None
+        self._min_slots = 1
         self._testv_gates = jnp.asarray(pbs_jnp.gates_test_poly(self.params))
         if mode == "lut":
             and_tab = [
@@ -106,6 +115,12 @@ class BooleanEngine:
             self._testv_and = jnp.asarray(
                 pbs_jnp.lut_test_poly(self.params, np.array(and_tab, np.uint64))
             )[None, :]
+
+    def set_sharding(self, batch_shard, repl_shard) -> None:
+        """Enable gate sharding (call before compile; parallel/mesh.py)."""
+        self._batch_shard = batch_shard
+        self._repl_shard = repl_shard
+        self._min_slots = batch_shard.mesh.size
 
     # -- compilation ---------------------------------------------------
     def compile(self, netlist: Netlist) -> None:
@@ -121,6 +136,7 @@ class BooleanEngine:
             self.params,
             self.mode,
             lut_test_poly_fn=lambda tab: pbs_jnp.lut_test_poly(self.params, tab),
+            min_slots=self._min_slots,
         )
         self._testv_bank = (
             jnp.asarray(self.plan.testv_bank)
@@ -177,7 +193,10 @@ class BooleanEngine:
             wires[self.plan.wire_index[w]] = lwe.encrypt(
                 self.client_key, self._encode(False)
             )
-        return jnp.asarray(wires)
+        dev = jnp.asarray(wires)
+        if self._repl_shard is not None:
+            dev = jax.device_put(dev, self._repl_shard)
+        return dev
 
     # -- evaluation ----------------------------------------------------
     def evaluate(self, wires: jax.Array, verbose: bool = False) -> jax.Array:
@@ -194,6 +213,7 @@ class BooleanEngine:
                 else:
                     testv = self._testv_gates
                 wires = _pbs_level_step(
+                    self._batch_shard,
                     self.dsk,
                     wires,
                     lp["slot_in"],

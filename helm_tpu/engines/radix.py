@@ -1,0 +1,315 @@
+"""Radix-integer homomorphic ops (arith mode building blocks).
+
+Counterpart of tfhe-rs's radix integer operations used by the reference's
+ArithCircuit (src/circuit.rs:1113-1483, src/gates.rs:306-702). Values are
+vectors of 2-bit-message / 2-bit-carry blocks (MESSAGE_2_CARRY_2 analog):
+value = sum_i block_i * 4^i, u8..u128 = 4..64 blocks.
+
+Everything reduces to batched PBS launches shaped for the TPU:
+
+- add/sub: linear block ops + a sequential carry-propagation pass whose每
+  round is ONE batched (msg, carry) launch across the whole gate batch.
+- mul: schoolbook partial products, ALL (lo, hi) pairs in one bivariate-PBS
+  launch, then a carry-save compression tree (one launch per tree round).
+- div: restoring long division from encrypted comparisons (carry-out of
+  x + ~y + 1), quotient bits via bivariate products.
+- shifts: plain amounts are block relabels + one bit-shift launch;
+  encrypted amounts use a mux ladder over the amount's bits.
+
+Blocks are kept *clean* (message < 4, no carries) after every public op.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fhe import pbs_jnp
+from ..params import TfheParams
+
+WIDTH_BLOCKS = {"u8": 4, "u16": 8, "u32": 16, "u64": 32, "u128": 64}
+
+
+# ----------------------------------------------------------------------
+# Test polynomial bank for radix ops
+# ----------------------------------------------------------------------
+
+
+class RadixTestPolys:
+    def __init__(self, params: TfheParams):
+        half = params.msg_space // 2  # reachable messages (padding bit)
+        ms = np.arange(half, dtype=np.uint64)
+
+        def tv(f):
+            return jnp.asarray(
+                pbs_jnp.lut_test_poly(params, f(ms).astype(np.uint64))
+            )[None, :]
+
+        self.msg = tv(lambda m: m % 4)
+        self.carry = tv(lambda m: m // 4)
+        self.mul_lo = tv(lambda m: ((m >> 2) * (m & 3)) % 4)
+        self.mul_hi = tv(lambda m: ((m >> 2) * (m & 3)) // 4)
+        self.lobit = tv(lambda m: m % 2)
+        self.hibit = tv(lambda m: (m % 4) // 2)
+        # shr helper: 2 * (x % 2) to splice a low bit into the block above
+        self.lobit2 = tv(lambda m: 2 * (m % 2))
+        self.half = tv(lambda m: (m % 4) // 2)
+
+
+_bootstrap_jit = jax.jit(pbs_jnp.bootstrap)
+
+
+def _bootstrap_multi(dsk, pres: list, tvs: list):
+    """One launch for several (pre, testv) groups of equal width."""
+    sizes = [p.shape[0] for p in pres]
+    pre = jnp.concatenate(pres)
+    tv = jnp.concatenate(
+        [jnp.broadcast_to(t, (s, t.shape[-1])) for s, t in zip(sizes, tvs)]
+    )
+    out = _bootstrap_jit(dsk, pre, tv)
+    res, off = [], 0
+    for s in sizes:
+        res.append(out[off : off + s])
+        off += s
+    return res
+
+
+def trivial_blocks(params: TfheParams, value: int, nb: int, batch: int) -> jnp.ndarray:
+    """Trivial radix encryption [batch, nb, n+1]."""
+    out = np.zeros((batch, nb, params.n + 1), dtype=np.uint32)
+    for i in range(nb):
+        out[:, i, params.n] = np.uint32(((value >> (2 * i)) & 3) * params.delta)
+    return jnp.asarray(out)
+
+
+@partial(jax.jit, static_argnames=("with_carry",))
+def _propagate(dsk, tp: RadixTestPolys, z, with_carry=False):
+    """Carry-propagate blocks (values <= 15) -> clean blocks (+ carry-out).
+
+    z: [B, nb, n+1]. Each round is one batched (msg, carry) launch.
+    """
+    n1 = z.shape[-1]
+    B, nb = z.shape[0], z.shape[1]
+    c = jnp.zeros((B, n1), jnp.uint32)
+    outs = []
+    for i in range(nb):
+        t = z[:, i] + c
+        m, c = _bootstrap_multi(dsk, [t, t], [tp.msg, tp.carry])
+        outs.append(m)
+    res = jnp.stack(outs, axis=1)
+    return (res, c) if with_carry else res
+
+
+jax.tree_util.register_pytree_node(
+    RadixTestPolys,
+    lambda t: (
+        (t.msg, t.carry, t.mul_lo, t.mul_hi, t.lobit, t.hibit, t.lobit2, t.half),
+        None,
+    ),
+    lambda _, ch: _rtp_unflatten(ch),
+)
+
+
+def _rtp_unflatten(ch):
+    t = object.__new__(RadixTestPolys)
+    (t.msg, t.carry, t.mul_lo, t.mul_hi, t.lobit, t.hibit, t.lobit2, t.half) = ch
+    return t
+
+
+class RadixOps:
+    """Stateful wrapper bundling device key + test polys (host-side API)."""
+
+    def __init__(self, params: TfheParams, dsk):
+        self.params = params
+        self.dsk = dsk
+        self.tp = RadixTestPolys(params)
+
+    # -- add / sub -----------------------------------------------------
+    def add(self, x, y, with_carry: bool = False):
+        return _propagate(self.dsk, self.tp, x + y, with_carry=with_carry)
+
+    def sub(self, x, y, with_carry: bool = False):
+        """x - y via x + (3-y per block) + 1; carry-out == (x >= y)."""
+        p = self.params
+        neg = jnp.uint32(0) - y
+        neg = neg.at[:, :, p.n].add(jnp.uint32(3 * p.delta))
+        z = x + neg
+        z = z.at[:, 0, p.n].add(jnp.uint32(p.delta))
+        return _propagate(self.dsk, self.tp, z, with_carry=with_carry)
+
+    def add_scalar_block0(self, x, v: int):
+        p = self.params
+        z = x.at[:, 0, p.n].add(jnp.uint32(v * p.delta))
+        return _propagate(self.dsk, self.tp, z)
+
+    # -- mul -----------------------------------------------------------
+    def mul(self, x, y):
+        """Schoolbook + carry-save compression; all launches fully batched."""
+        p = self.params
+        B, nb = x.shape[0], x.shape[1]
+        pairs = [(i, j) for i in range(nb) for j in range(nb) if i + j < nb]
+        lo_pre = jnp.concatenate([4 * x[:, i] + y[:, j] for i, j in pairs])
+        hi_pairs = [(i, j) for (i, j) in pairs if i + j + 1 < nb]
+        hi_pre = (
+            jnp.concatenate([4 * x[:, i] + y[:, j] for i, j in hi_pairs])
+            if hi_pairs
+            else None
+        )
+        if hi_pre is not None:
+            lo, hi = _bootstrap_multi(
+                self.dsk, [lo_pre, hi_pre], [self.tp.mul_lo, self.tp.mul_hi]
+            )
+        else:
+            (lo,) = _bootstrap_multi(self.dsk, [lo_pre], [self.tp.mul_lo])
+            hi = lo[:0]
+        cols: list[list] = [[] for _ in range(nb)]
+        for idx, (i, j) in enumerate(pairs):
+            cols[i + j].append(lo[idx * B : (idx + 1) * B])
+        for idx, (i, j) in enumerate(hi_pairs):
+            cols[i + j + 1].append(hi[idx * B : (idx + 1) * B])
+        # compression tree: chunks of <=5 clean blocks sum to <=15
+        while max(len(c) for c in cols) > 1:
+            chunk_pre, chunk_col = [], []
+            new_cols: list[list] = [[] for _ in range(nb)]
+            for c, terms in enumerate(cols):
+                k = 0
+                while k < len(terms):
+                    chunk = terms[k : k + 5]
+                    k += 5
+                    if len(chunk) == 1:
+                        new_cols[c].append(chunk[0])
+                    else:
+                        s = chunk[0]
+                        for t in chunk[1:]:
+                            s = s + t
+                        chunk_pre.append(s)
+                        chunk_col.append(c)
+            if chunk_pre:
+                pre = jnp.concatenate(chunk_pre)
+                msgs, carries = _bootstrap_multi(
+                    self.dsk, [pre, pre], [self.tp.msg, self.tp.carry]
+                )
+                for ci, c in enumerate(chunk_col):
+                    new_cols[c].append(msgs[ci * B : (ci + 1) * B])
+                    if c + 1 < nb:
+                        new_cols[c + 1].append(carries[ci * B : (ci + 1) * B])
+            cols = new_cols
+        zero = jnp.zeros((B, self.params.n + 1), jnp.uint32)
+        blocks = [c[0] if c else zero for c in cols]
+        return jnp.stack(blocks, axis=1)
+
+    # -- division ------------------------------------------------------
+    def div(self, x, y):
+        """Restoring long division; div-by-zero yields all-ones (like the
+        hardware algorithm; documented divergence from Rust's panic)."""
+        p = self.params
+        B, nb = x.shape[0], x.shape[1]
+        bits = 2 * nb
+        # extract all bits of x in one launch
+        flat = x.reshape(B * nb, p.n + 1)
+        los, his = _bootstrap_multi(
+            self.dsk, [flat, flat], [self.tp.lobit, self.tp.hibit]
+        )
+        los = los.reshape(B, nb, p.n + 1)
+        his = his.reshape(B, nb, p.n + 1)
+        xbit = [
+            (his[:, k // 2] if k % 2 else los[:, k // 2]) for k in range(bits)
+        ]
+        # remainder register gets one extra block so 2R+b never truncates
+        # before the comparison
+        nbe = nb + 1
+        zero_blk = jnp.zeros((B, 1, p.n + 1), jnp.uint32)
+        y_ext = jnp.concatenate([y, zero_blk], axis=1)
+        r = jnp.zeros((B, nbe, p.n + 1), jnp.uint32)
+        qbits = [None] * bits
+        for k in reversed(range(bits)):
+            # r = 2r + x_bit_k (values <= 7 before propagate)
+            z = 2 * r
+            z = z.at[:, 0].add(xbit[k])
+            r = _propagate(self.dsk, self.tp, z)
+            _, ge = self.sub(r, y_ext, with_carry=True)  # ge = (r >= y)
+            # r <- r - ge*y: gy blocks via bivariate (4*ge + y_i)
+            gy_pre = jnp.concatenate(
+                [4 * ge + y_ext[:, i] for i in range(nbe)]
+            )
+            (gy,) = _bootstrap_multi(self.dsk, [gy_pre], [self.tp.mul_lo])
+            gy = jnp.stack(
+                [gy[i * B : (i + 1) * B] for i in range(nbe)], axis=1
+            )
+            r = self.sub(r, gy)
+            qbits[k] = ge
+        blocks = []
+        for i in range(nb):
+            blk = qbits[2 * i] + 2 * qbits[2 * i + 1]
+            blocks.append(blk)
+        return _propagate(self.dsk, self.tp, jnp.stack(blocks, axis=1))
+
+    # -- shifts --------------------------------------------------------
+    def shift_plain(self, x, amount: int, left: bool):
+        p = self.params
+        B, nb = x.shape[0], x.shape[1]
+        width = 2 * nb
+        if amount >= width:
+            return trivial_blocks(p, 0, nb, B)
+        blocks, bit = divmod(amount, 2)
+        zero = jnp.zeros((B, 1, p.n + 1), jnp.uint32)
+        if left:
+            if blocks:
+                x = jnp.concatenate(
+                    [jnp.tile(zero, (1, blocks, 1)), x[:, : nb - blocks]], axis=1
+                )
+            if bit:
+                x = _propagate(self.dsk, self.tp, 2 * x)
+        else:
+            if blocks:
+                x = jnp.concatenate(
+                    [x[:, blocks:], jnp.tile(zero, (1, blocks, 1))], axis=1
+                )
+            if bit:
+                flat = x.reshape(B * nb, p.n + 1)
+                halves, lob2 = _bootstrap_multi(
+                    self.dsk, [flat, flat], [self.tp.half, self.tp.lobit2]
+                )
+                halves = halves.reshape(B, nb, p.n + 1)
+                lob2 = lob2.reshape(B, nb, p.n + 1)
+                x = halves.at[:, : nb - 1].add(lob2[:, 1:])
+        return x
+
+    def shift_ct(self, x, y, left: bool):
+        """Shift by encrypted amount: mux ladder over the amount's bits
+        (amounts >= width wrap mod width; documented)."""
+        p = self.params
+        B, nb = x.shape[0], x.shape[1]
+        width = 2 * nb
+        ybits = []
+        flat = y.reshape(B * nb, p.n + 1)
+        los, his = _bootstrap_multi(
+            self.dsk, [flat, flat], [self.tp.lobit, self.tp.hibit]
+        )
+        los = los.reshape(B, nb, p.n + 1)
+        his = his.reshape(B, nb, p.n + 1)
+        for k in range(max(1, (width - 1).bit_length())):
+            ybits.append(his[:, k // 2] if k % 2 else los[:, k // 2])
+        for k, sel in enumerate(ybits):
+            shifted = self.shift_plain(x, 1 << k, left)
+            x = self._mux_blocks(sel, shifted, x)
+        return x
+
+    def _mux_blocks(self, sel, a, b):
+        """per-block sel ? a : b via two bivariate products + add."""
+        p = self.params
+        B, nb = a.shape[0], a.shape[1]
+        not_sel = jnp.uint32(0) - sel
+        not_sel = not_sel.at[:, p.n].add(jnp.uint32(p.delta))
+        pre1 = jnp.concatenate([4 * sel + a[:, i] for i in range(nb)])
+        pre2 = jnp.concatenate([4 * not_sel + b[:, i] for i in range(nb)])
+        t1, t2 = _bootstrap_multi(
+            self.dsk, [pre1, pre2], [self.tp.mul_lo, self.tp.mul_lo]
+        )
+        blocks = [
+            t1[i * B : (i + 1) * B] + t2[i * B : (i + 1) * B] for i in range(nb)
+        ]
+        return _propagate(self.dsk, self.tp, jnp.stack(blocks, axis=1))

@@ -1,0 +1,115 @@
+"""Arithmetic-mode tests: radix ops and the chi-squared benchmark.
+
+Mirrors reference tests/circuit_test.rs:315-474 (chi-squared with recorded
+vectors) but checks against the arithmetic plaintext oracle at several
+precisions and input sets.
+"""
+
+import numpy as np
+import pytest
+
+from helm_tpu import params as P
+from helm_tpu.circuit.graph import Circuit
+from helm_tpu.circuit.verilog import parse_verilog, read_verilog_file
+from helm_tpu.engines.arith import ArithEngine
+from helm_tpu.engines.radix import RadixOps, trivial_blocks
+
+
+@pytest.fixture(scope="module")
+def engine_u8():
+    return ArithEngine("u8", params=P.TEST_PARAMS_ARITH, seed=5)
+
+
+def _roundtrip(engine, vals):
+    cts = np.stack([engine._encrypt_value(v) for v in vals])
+    return [engine._decrypt_value(ct) for ct in cts]
+
+
+def test_radix_encrypt_decrypt(engine_u8):
+    vals = [0, 1, 100, 255]
+    assert _roundtrip(engine_u8, vals) == vals
+
+
+def test_radix_primitives(engine_u8):
+    import jax.numpy as jnp
+
+    e = engine_u8
+    ops = e.ops
+    xs = [17, 250, 3, 200]
+    ys = [5, 10, 77, 200]
+    x = jnp.asarray(np.stack([e._encrypt_value(v) for v in xs]))
+    y = jnp.asarray(np.stack([e._encrypt_value(v) for v in ys]))
+    add = ops.add(x, y)
+    sub = ops.sub(x, y)
+    mul = ops.mul(x, y)
+    for i in range(len(xs)):
+        assert e._decrypt_value(np.asarray(add[i])) == (xs[i] + ys[i]) % 256
+        assert e._decrypt_value(np.asarray(sub[i])) == (xs[i] - ys[i]) % 256
+        assert e._decrypt_value(np.asarray(mul[i])) == (xs[i] * ys[i]) % 256
+
+
+def test_radix_div(engine_u8):
+    import jax.numpy as jnp
+
+    e = engine_u8
+    xs = [100, 255, 7]
+    ys = [7, 16, 9]
+    x = jnp.asarray(np.stack([e._encrypt_value(v) for v in xs]))
+    y = jnp.asarray(np.stack([e._encrypt_value(v) for v in ys]))
+    div = e.ops.div(x, y)
+    for i in range(len(xs)):
+        assert e._decrypt_value(np.asarray(div[i])) == xs[i] // ys[i]
+
+
+def test_radix_shifts(engine_u8):
+    import jax.numpy as jnp
+
+    e = engine_u8
+    x = jnp.asarray(np.stack([e._encrypt_value(v) for v in [0b10110101, 3]]))
+    for s in [0, 1, 3, 6]:
+        shl = e.ops.shift_plain(x, s, True)
+        shr = e.ops.shift_plain(x, s, False)
+        assert e._decrypt_value(np.asarray(shl[0])) == (0b10110101 << s) % 256
+        assert e._decrypt_value(np.asarray(shr[0])) == 0b10110101 >> s
+    # encrypted shift amount
+    y = jnp.asarray(np.stack([e._encrypt_value(v) for v in [2, 5]]))
+    shl = e.ops.shift_ct(x, y, True)
+    assert e._decrypt_value(np.asarray(shl[0])) == (0b10110101 << 2) % 256
+    assert e._decrypt_value(np.asarray(shl[1])) == (3 << 5) % 256
+
+
+ARITH_SRC = """
+module m(a, b, s, d, p, q);
+  input [7:0] a, b;
+  output [7:0] s, d, p, q;
+  add g0(a, b, s);
+  sub g1(a, b, d);
+  mult g2(a, 3, p);
+  add g3(7, b, q);
+endmodule
+"""
+
+
+def test_arith_engine_with_plain_operands(engine_u8):
+    nl = parse_verilog(ARITH_SRC, True)
+    e = engine_u8
+    e.compile(nl)
+    inputs = {"a": 23, "b": 190}
+    wires = e.evaluate(e.encrypt_inputs(inputs))
+    out = e.decrypt_outputs(wires)
+    c = Circuit.from_netlist(parse_verilog(ARITH_SRC, True))
+    exp = c.evaluate_arith(c.initialize_wire_map(nl.wire_set, inputs, default=0), 8)
+    for w in ("s", "d", "p", "q"):
+        assert out[w] == exp[w], w
+
+
+def test_chi_squared_u8():
+    nl = read_verilog_file("benchmarks/netlists/chi_squared_arith.v", True)
+    e = ArithEngine("u8", params=P.TEST_PARAMS_ARITH, seed=6)
+    e.compile(nl)
+    c = Circuit.from_netlist(read_verilog_file("benchmarks/netlists/chi_squared_arith.v", True))
+    inputs = {"n0": 2, "n1": 7, "n2": 9}
+    exp = c.evaluate_arith(c.initialize_wire_map(nl.wire_set, inputs, default=0), 8)
+    out = e.decrypt_outputs(e.evaluate(e.encrypt_inputs(inputs)))
+    for w in ("alpha", "beta1", "beta2", "beta3"):
+        assert out[w] == exp[w], w
