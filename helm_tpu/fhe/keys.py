@@ -1,0 +1,51 @@
+"""Key serialization (save/load client and server keys).
+
+The reference has no key or ciphertext persistence (SURVEY.md §5 —
+"every run does fresh keygen"); this framework adds explicit, unencrypted
+npz serialization so large-key production deployments can reuse keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..params import ALL_PARAMS, TfheParams
+from .lwe import ClientKey
+from .server_key import ServerKey
+
+
+def save_client_key(path: str, ck: ClientKey) -> None:
+    np.savez_compressed(
+        path,
+        kind="client",
+        params=ck.params.name,
+        lwe_key=ck.lwe_key,
+        glwe_key=ck.glwe_key,
+    )
+
+
+def load_client_key(path: str) -> ClientKey:
+    z = np.load(path, allow_pickle=False)
+    assert str(z["kind"]) == "client", "not a client key file"
+    params = ALL_PARAMS[str(z["params"])]
+    return ClientKey(
+        params, z["lwe_key"], z["glwe_key"], np.random.default_rng()
+    )
+
+
+def save_server_key(path: str, sk: ServerKey) -> None:
+    np.savez_compressed(
+        path,
+        kind="server",
+        params=sk.params.name,
+        bsk_ntt=sk.bsk_ntt,
+        bsk_ntt_sh=sk.bsk_ntt_sh,
+        ksk_limbs=sk.ksk_limbs,
+    )
+
+
+def load_server_key(path: str) -> ServerKey:
+    z = np.load(path, allow_pickle=False)
+    assert str(z["kind"]) == "server", "not a server key file"
+    params = ALL_PARAMS[str(z["params"])]
+    return ServerKey(params, z["bsk_ntt"], z["bsk_ntt_sh"], z["ksk_limbs"])

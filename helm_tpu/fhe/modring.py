@@ -20,11 +20,16 @@ from dataclasses import dataclass
 
 import numpy as np
 
+#: Default prime set (supports negacyclic N <= 2048; all == 1 mod 4096).
 PRIMES = (12289, 40961, 61441, 65537)  # ascending; product ~ 2^59.8
+#: N <= 1024 set (all == 1 mod 2048 and <= 61441, so balanced residues fit
+#: two int8 limbs — required by the MXU matmul NTT path).
+PRIMES_1024 = (12289, 40961, 59393, 61441)  # product ~ 2^59.7
 NUM_PRIMES = len(PRIMES)
-PROD = 1
-for _p in PRIMES:
-    PROD *= _p
+
+
+def primes_for(N: int) -> tuple:
+    return PRIMES_1024 if N <= 1024 else PRIMES
 
 SHOUP_SHIFT = 16  # beta = 2^16
 
@@ -120,8 +125,8 @@ class GarnerConstants:
     half_p3: int
 
 
-def _garner_constants() -> GarnerConstants:
-    p0, p1, p2, p3 = PRIMES
+def _garner_constants(primes) -> GarnerConstants:
+    p0, p1, p2, p3 = primes
 
     def inv(a, p):
         return pow(a, -1, p)
@@ -146,17 +151,16 @@ def _garner_constants() -> GarnerConstants:
     for k, v in vals.items():
         kwargs[k] = v
         kwargs[k + "_sh"] = shoup(v, mods[k])
+    prod = p0 * p1 * p2 * p3
     return GarnerConstants(
-        prod_mod_q=PROD % (1 << 32), half_p3=p3 // 2, **kwargs
+        prod_mod_q=prod % (1 << 32), half_p3=p3 // 2, **kwargs
     )
-
-
-GARNER = _garner_constants()
 
 
 @functools.lru_cache(maxsize=None)
 def get_tables(N: int) -> NttTables:
     assert N & (N - 1) == 0 and 4 <= N <= 2048, N
+    primes = primes_for(N)
     bits = N.bit_length() - 1
     psi_rev = np.zeros((NUM_PRIMES, N), dtype=np.uint32)
     psi_rev_sh = np.zeros_like(psi_rev)
@@ -164,7 +168,7 @@ def get_tables(N: int) -> NttTables:
     psi_inv_rev_sh = np.zeros_like(psi_rev)
     n_inv = np.zeros(NUM_PRIMES, dtype=np.uint32)
     n_inv_sh = np.zeros(NUM_PRIMES, dtype=np.uint32)
-    for pi, p in enumerate(PRIMES):
+    for pi, p in enumerate(primes):
         psi = root_of_unity(p, 2 * N)
         psi_inv = pow(psi, -1, p)
         for j in range(N):
@@ -180,12 +184,12 @@ def get_tables(N: int) -> NttTables:
         n_inv_sh[pi] = shoup(ninv, p)
     return NttTables(
         N=N,
-        primes=np.array(PRIMES, dtype=np.uint32),
+        primes=np.array(primes, dtype=np.uint32),
         psi_rev=psi_rev,
         psi_rev_sh=psi_rev_sh,
         psi_inv_rev=psi_inv_rev,
         psi_inv_rev_sh=psi_inv_rev_sh,
         n_inv=n_inv,
         n_inv_sh=n_inv_sh,
-        garner=GARNER,
+        garner=_garner_constants(primes),
     )

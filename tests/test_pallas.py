@@ -1,0 +1,71 @@
+"""Pallas kernel vs jnp pipeline: bit-identical blind rotation."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from helm_tpu import params as P
+from helm_tpu.fhe import lwe, pbs_jnp, server_key
+from helm_tpu.ops import pallas_pbs
+
+
+@pytest.fixture(scope="module")
+def keys():
+    p = P.TEST_PARAMS
+    ck = lwe.keygen(p, seed=21)
+    dsk = pbs_jnp.DeviceServerKey.from_host(server_key.gen_server_key(ck))
+    return p, ck, dsk
+
+
+def test_blind_rotate_matches_jnp(keys):
+    p, ck, dsk = keys
+    G = 8
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 2, G).astype(bool)
+    ct = lwe.encrypt(ck, lwe.encode_bool(bits))
+    testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
+    ref = np.asarray(jax.jit(pbs_jnp.blind_rotate)(dsk, jnp.asarray(ct), testv))
+    got = np.asarray(
+        pallas_pbs.blind_rotate_pallas(
+            p, dsk.bsk_ntt, dsk.bsk_ntt_sh, jnp.asarray(ct), testv,
+            g_tile=4, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_bootstrap_pallas_truth_table(keys):
+    p, ck, dsk = keys
+    combos = [(a, b) for a in (False, True) for b in (False, True)]
+    c1 = lwe.encrypt(ck, lwe.encode_bool([a for a, _ in combos]))
+    c2 = lwe.encrypt(ck, lwe.encode_bool([b for _, b in combos]))
+    q8 = 1 << 29
+    lin = (c1 + c2).astype(np.uint32)
+    lin[:, p.n] += np.uint32((-q8) % (1 << 32))
+    testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
+    out = np.asarray(
+        pallas_pbs.bootstrap_pallas(
+            dsk, jnp.asarray(lin), testv, g_tile=4, interpret=True
+        )
+    )
+    got = list(lwe.decode_bool(lwe.decrypt_phase(ck, out)))
+    assert got == [a and b for a, b in combos]
+
+
+def test_pallas_ragged_batch(keys):
+    """G not divisible by g_tile: padding path."""
+    p, ck, dsk = keys
+    G = 5
+    bits = np.array([1, 0, 1, 1, 0], bool)
+    ct = lwe.encrypt(ck, lwe.encode_bool(bits))
+    testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
+    ref = np.asarray(jax.jit(pbs_jnp.blind_rotate)(dsk, jnp.asarray(ct), testv))
+    got = np.asarray(
+        pallas_pbs.blind_rotate_pallas(
+            p, dsk.bsk_ntt, dsk.bsk_ntt_sh, jnp.asarray(ct), testv,
+            g_tile=4, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, ref)

@@ -1,0 +1,56 @@
+"""Noise model sanity and key serialization."""
+
+import numpy as np
+import pytest
+
+from helm_tpu import params as P
+from helm_tpu.fhe import keys, lwe, pbs_jnp, server_key
+
+
+def test_production_failure_rates():
+    # XOR doubles the noise (worst boolean combo): growth 8 = (2x std)^2 * 2 ops
+    assert P.GATES_PARAMS.pbs_failure_log2(linear_growth=8.0) < -30
+    # LUT packing multiplies by up to 4 (3-input shift): growth 16
+    assert P.LUT_PARAMS.pbs_failure_log2(linear_growth=16.0) < -30
+    # arith linear combos up to 5 clean blocks
+    assert P.ARITH_PARAMS.pbs_failure_log2(linear_growth=25.0) < -25
+
+
+def test_security_gaps_documented():
+    for p in (P.GATES_PARAMS, P.LUT_PARAMS, P.ARITH_PARAMS):
+        lwe_gap, glwe_gap = p.security_gap_bits()
+        # dimension-per-gap-bit at least that of the reference's GPU set
+        assert p.n / lwe_gap >= 512 / 25 - 1e-6, p.name
+        assert (p.k * p.N) / glwe_gap >= 1024 / 25 - 1e-6, p.name
+
+
+def test_key_serialization_roundtrip(tmp_path):
+    p = P.TEST_PARAMS
+    ck = lwe.keygen(p, seed=123)
+    sk = server_key.gen_server_key(ck)
+    ckp, skp = str(tmp_path / "ck.npz"), str(tmp_path / "sk.npz")
+    keys.save_client_key(ckp, ck)
+    keys.save_server_key(skp, sk)
+    ck2 = keys.load_client_key(ckp)
+    sk2 = keys.load_server_key(skp)
+    np.testing.assert_array_equal(ck2.lwe_key, ck.lwe_key)
+    np.testing.assert_array_equal(ck2.glwe_key, ck.glwe_key)
+    np.testing.assert_array_equal(sk2.bsk_ntt, sk.bsk_ntt)
+    np.testing.assert_array_equal(sk2.ksk_limbs, sk.ksk_limbs)
+    # loaded keys still decrypt what original keys encrypt
+    ct = lwe.encrypt(ck, lwe.encode_bool(np.array([True, False])))
+    ph = lwe.decrypt_phase(ck2, ct)
+    assert list(lwe.decode_bool(ph)) == [True, False]
+    # and the loaded server key still bootstraps correctly
+    import jax
+    import jax.numpy as jnp
+
+    dsk = pbs_jnp.DeviceServerKey.from_host(sk2)
+    lin = (ct[0] + ct[1]).astype(np.uint32)
+    lin[p.n] += np.uint32((-(1 << 29)) % (1 << 32))
+    out = np.asarray(
+        jax.jit(pbs_jnp.bootstrap)(
+            dsk, jnp.asarray(lin[None]), jnp.asarray(pbs_jnp.gates_test_poly(p))
+        )
+    )
+    assert not lwe.decode_bool(lwe.decrypt_phase(ck, out))[0]  # T and F = F
