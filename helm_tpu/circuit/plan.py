@@ -243,6 +243,39 @@ def build_plan(
     )
 
 
+def decompose_wide_luts(gates: list[Gate], max_inputs: int = MAX_SLOT_INPUTS) -> list[Gate]:
+    """Shannon-decompose LUTs wider than the message space into 3-input trees.
+
+    Covers the reference's high-precision LUT capability (C11,
+    gates.rs:721-743 WoPBS path) without wide-plaintext bootstrapping: an
+    n-input LUT splits on its first (MSB) input into two (n-1)-input LUTs
+    plus a 3-input select LUT (idx = a*4 + f1*2 + f0 -> a ? f1 : f0).
+    """
+    # select table: out = a ? n1 : n0 for idx = a*4 + n1*2 + n0
+    SELECT = [((i >> 1) & 1) if (i >> 2) & 1 else (i & 1) for i in range(8)]
+    out: list[Gate] = []
+
+    def expand(name: str, table: list[int], inputs: list[str], output: str, d=0):
+        if len(inputs) <= max_inputs:
+            out.append(Gate(name, GateType.LUT, list(inputs), output, list(table)))
+            return
+        half = 1 << (len(inputs) - 1)
+        a, rest = inputs[0], inputs[1:]
+        w0, w1 = f"{name}__s{d}l", f"{name}__s{d}h"
+        expand(w0 + "g", table[:half], rest, w0, d + 1)
+        expand(w1 + "g", table[half:], rest, w1, d + 1)
+        out.append(
+            Gate(name, GateType.LUT, [a, w1, w0], output, list(SELECT))
+        )
+
+    for g in gates:
+        if g.type == GateType.LUT and len(g.inputs) > max_inputs:
+            expand(g.name, g.lut_const, g.inputs, g.output)
+        else:
+            out.append(g)
+    return out
+
+
 def binarize(gates: list[Gate]) -> list[Gate]:
     """Expand n-ary Boolean gates into 2-input chains (plan requirement).
 

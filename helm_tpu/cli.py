@@ -73,6 +73,11 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     ap.add_argument("--seed", type=int, default=None, help="key RNG seed")
     ap.add_argument(
+        "--profile",
+        metavar="DIR",
+        help="capture a jax.profiler trace of the evaluation into DIR",
+    )
+    ap.add_argument(
         "--mesh",
         type=int,
         default=0,
@@ -136,6 +141,12 @@ def _run_boolean(args, netlist) -> int:
     print(f"Encryption done in {time.time() - start} seconds.")
 
     ready_flag = False
+    profile_ctx = None
+    if args.profile:
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
     for cycle in range(args.cycles):
         start = time.time()
         wires = engine.evaluate(wires, verbose=args.verbose)
@@ -144,6 +155,10 @@ def _run_boolean(args, netlist) -> int:
             valid = engine.evaluate_ready(wires, valid)
         wires.block_until_ready()
         print(f"Cycle {cycle}) Evaluation done in {time.time() - start} seconds.\n")
+
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+        print(f"[✓] profiler trace written to {args.profile}")
 
     start = time.time()
     print("Encrypted Evaluation:")

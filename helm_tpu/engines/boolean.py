@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..circuit.graph import Circuit
-from ..circuit.plan import CircuitPlan, LevelPlan, Q8, binarize, build_plan
+from ..circuit.plan import (CircuitPlan, LevelPlan, Q8, binarize, build_plan, decompose_wide_luts)
 from ..circuit.verilog import Netlist
 from ..fhe import lwe, pbs_jnp
 from ..fhe.server_key import gen_server_key
@@ -125,14 +125,18 @@ class BooleanEngine:
     # -- compilation ---------------------------------------------------
     def compile(self, netlist: Netlist) -> None:
         gates = binarize(netlist.gates)
+        if self.mode == "lut":
+            gates = decompose_wide_luts(gates)
         circuit = Circuit(
             gates, netlist.inputs, netlist.outputs, netlist.dff_outputs
         )
         circuit.sort_circuit()
         circuit.compute_levels()
+        # binarize/decompose introduce fresh intermediate wires
+        wire_set = set(netlist.wire_set) | {g.output for g in gates}
         self.plan = build_plan(
             circuit,
-            netlist.wire_set,
+            wire_set,
             self.params,
             self.mode,
             lut_test_poly_fn=lambda tab: pbs_jnp.lut_test_poly(self.params, tab),
@@ -229,7 +233,11 @@ class BooleanEngine:
                     lp["lin_dst"],
                 )
             if verbose:
-                print(f"  Evaluated gates in level [{i + 1}/{total}]")
+                ns = self.plan.levels[i].num_slots
+                print(
+                    f"  Evaluated gates in level [{i + 1}/{total}]"
+                    f" ({ns} PBS slots in one launch)"
+                )
         return wires
 
     # -- READY protocol ------------------------------------------------

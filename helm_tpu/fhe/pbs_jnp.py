@@ -116,6 +116,132 @@ def blind_rotate(
     return acc
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def monomial_tables(N: int):
+    """T[b, pi, f] = psi^(2^b * e_f) mod p_pi with e_f = 2*bitrev(f)+1: the
+    NTT-domain image of X^(2^b), used to build NTT(X^a) by a bit ladder.
+    Returns (tables, shoup) as uint32 [log2(2N), NP, N]."""
+    from .modring import primes_for, shoup as _shoup, root_of_unity, _bit_reverse
+
+    primes = primes_for(N)
+    L2N = N.bit_length()  # log2(2N)
+    bits = N.bit_length() - 1
+    t = np.zeros((L2N, len(primes), N), np.uint32)
+    t_sh = np.zeros_like(t)
+    for pi, p in enumerate(primes):
+        psi = root_of_unity(p, 2 * N)
+        for f in range(N):
+            e = 2 * _bit_reverse(f, bits) + 1
+            for b in range(L2N):
+                w = pow(psi, ((1 << b) * e) % (2 * N), p)
+                t[b, pi, f] = w
+                t_sh[b, pi, f] = _shoup(w, p)
+    return t, t_sh
+
+
+def _generic_modmul_jnp(a, b, p):
+    """(a*b) mod p for a,b < p <= 2^16+1, no precomputation (16-bit split)."""
+    bh = b >> 8
+    bl = b & jnp.uint32(0xFF)
+    t = (a * bh) % p
+    return ((t << 8) % p + (a * bl) % p) % p
+
+
+def blind_rotate_multibit(
+    dsk: DeviceServerKey, lwe_in: jax.Array, testv: jax.Array
+) -> jax.Array:
+    """Multi-bit blind rotation: one external product per group of g mask
+    elements, with the effective GGSW assembled in the NTT domain as
+    sum_v P_v(X) (.) BSK_v, P_v = prod_{i in v} (X^{a_i} - 1)."""
+    p = dsk.params
+    tab = dsk.tab
+    g = p.grouping
+    n, N, k = p.n, p.N, p.k
+    groups = n // g
+    G = lwe_in.shape[0]
+    kp1 = k + 1
+    rows = kp1 * p.pbs_level
+    primes_col = jnp.asarray(tab.primes).reshape(NUM_PRIMES, 1)
+    mono, mono_sh = monomial_tables(N)
+    mono = jnp.asarray(mono)
+    mono_sh = jnp.asarray(mono_sh)
+    L2N = N.bit_length()
+
+    abar = ops.mod_switch(jnp, lwe_in[:, :n], N)  # [G, n]
+    bbar = ops.mod_switch(jnp, lwe_in[:, n], N)
+    neg_b = (jnp.uint32(2 * N) - bbar) & jnp.uint32(2 * N - 1)
+    body = ops.negacyclic_rotate(jnp, jnp.broadcast_to(testv, (G, N)), neg_b, N)
+    acc = jnp.concatenate(
+        [jnp.zeros((G, k, N), jnp.uint32), body[:, None, :]], axis=1
+    )
+
+    a_groups = abar.reshape(G, groups, g).transpose(1, 0, 2)  # [groups, G, g]
+
+    def mono_ntt(a):
+        """NTT(X^a) for per-gate exponents a [G] -> [G, NP, N]."""
+        m = jnp.ones((G, NUM_PRIMES, N), jnp.uint32)
+        for b in range(L2N):
+            bit = ((a >> b) & 1).astype(bool)[:, None, None]
+            m2 = mul_shoup(jnp, m, mono[b], mono_sh[b], primes_col)
+            m = jnp.where(bit, m2, m)
+        return m
+
+    ones = jnp.ones((1, NUM_PRIMES, N), jnp.uint32)
+
+    def step(acc, xs):
+        bsk_j, bsk_sh_j, a_j = xs  # [2^g, rows, kp1, NP, N] x2, [G, g]
+        # subset polynomials P_v in NTT domain
+        d = [
+            ntt_sub_mod(mono_ntt(a_j[:, i]), ones, primes_col) for i in range(g)
+        ]
+        pv = {}
+        for v in range(1, 1 << g):
+            idxs = [i for i in range(g) if (v >> i) & 1]
+            if len(idxs) == 1:
+                pv[v] = d[idxs[0]]
+            else:
+                acc_p = d[idxs[0]]
+                for i in idxs[1:]:
+                    acc_p = _generic_modmul_jnp(acc_p, d[i], primes_col)
+                pv[v] = acc_p
+        # decompose acc and forward-NTT the rows
+        digits = ops.signed_decompose(jnp, acc, p.pbs_base_log, p.pbs_level)
+        dd = jnp.transpose(digits, (1, 2, 0, 3)).reshape(G, rows, N)
+        f = ntt_fwd(jnp, digits_to_residues(jnp, dd, primes_col), tab)
+        outs = []
+        for c in range(kp1):
+            s = None
+            for r in range(rows):
+                # E[r, c] = BSK_0 + sum_v P_v (.) BSK_v  (v=0: P=1)
+                e = bsk_j[0, r, c]
+                for v in range(1, 1 << g):
+                    t = mul_shoup(
+                        jnp, pv[v], bsk_j[v, r, c], bsk_sh_j[v, r, c], primes_col
+                    )
+                    e = e + t
+                e = reduce_small_sum(jnp, e, primes_col, (1 << g) + 1)
+                t = _generic_modmul_jnp(f[:, r], e, primes_col)
+                s = t if s is None else s + t
+            s = reduce_small_sum(jnp, s, primes_col, rows + 1)
+            outs.append(s)
+        prod = jnp.stack(outs, axis=1)
+        # the external product with GGSW(X^{sum a s}) REPLACES acc
+        return garner_to_u32(jnp, ntt_inv(jnp, prod, tab), tab), None
+
+    acc, _ = jax.lax.scan(
+        step, acc, (dsk.bsk_ntt, dsk.bsk_ntt_sh, a_groups), length=groups
+    )
+    return acc
+
+
+def ntt_sub_mod(a, b, p):
+    r = a - b
+    return jnp.where(a < b, r + p, r)
+
+
 def keyswitch(dsk: DeviceServerKey, big_lwe: jax.Array) -> jax.Array:
     """Big-LWE [G, kN+1] -> small-LWE [G, n+1] via int8-limb MXU matmul."""
     p = dsk.params
@@ -143,7 +269,10 @@ def bootstrap(
     dsk: DeviceServerKey, lwe_in: jax.Array, testv: jax.Array
 ) -> jax.Array:
     """Full PBS: blind rotate -> sample extract -> keyswitch. [G,n+1]->[G,n+1]."""
-    acc = blind_rotate(dsk, lwe_in, testv)
+    if dsk.params.grouping > 1:
+        acc = blind_rotate_multibit(dsk, lwe_in, testv)
+    else:
+        acc = blind_rotate(dsk, lwe_in, testv)
     big = ops.sample_extract(jnp, acc, dsk.params.k, dsk.params.N)
     return keyswitch(dsk, big)
 

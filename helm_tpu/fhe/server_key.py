@@ -107,6 +107,47 @@ def gen_ksk(ck: ClientKey) -> np.ndarray:
     return _balanced_limbs(ksk)
 
 
+def gen_bsk_multibit(ck: ClientKey) -> tuple[np.ndarray, np.ndarray]:
+    """Grouped bootstrap key for multi-bit PBS (params.grouping = g > 1).
+
+    For each group j of g secret bits and each subset mask v in [0, 2^g),
+    a GGSW encryption of prod_{i in v} s_{jg+i} (analog of tfhe-rs's
+    multi-bit BSK; the reference's arith mode uses GROUP_3 parameters,
+    src/bin/helm.rs:81-88). Shape [n/g, 2^g, (k+1)*l, k+1, NP, N].
+    """
+    p = ck.params
+    g = p.grouping
+    assert g > 1 and p.n % g == 0, (g, p.n)
+    groups = p.n // g
+    tab = get_tables(p.N)
+    kp1 = p.k + 1
+    levels = p.pbs_level
+    rows_per = kp1 * levels
+    nv = 1 << g
+    raw = _glwe_enc_zero_batch(ck, groups * nv * rows_per).reshape(
+        groups, nv, kp1, levels, kp1, p.N
+    )
+    s = ck.lwe_key.reshape(groups, g)
+    for v in range(nv):
+        # m_v[j] = prod of the selected bits of group j
+        m = np.ones(groups, dtype=np.uint32)
+        for i in range(g):
+            if (v >> i) & 1:
+                m = m * s[:, i]
+        for j in range(levels):
+            w = np.uint32(1 << (32 - p.pbs_base_log * (j + 1)))
+            for c in range(kp1):
+                raw[:, v, c, j, c, 0] += m * w
+    raw = raw.reshape(groups, nv, rows_per, kp1, p.N)
+    bsk_ntt = ntt.ntt_fwd(np, ntt.to_residues(np, raw, tab), tab)
+    primes = tab.primes.reshape(NUM_PRIMES, 1).astype(np.uint64)
+    sh = ((bsk_ntt.astype(np.uint64) << 16) // primes).astype(np.uint32)
+    return bsk_ntt, sh
+
+
 def gen_server_key(ck: ClientKey) -> ServerKey:
-    bsk_ntt, bsk_sh = gen_bsk(ck)
+    if ck.params.grouping > 1:
+        bsk_ntt, bsk_sh = gen_bsk_multibit(ck)
+    else:
+        bsk_ntt, bsk_sh = gen_bsk(ck)
     return ServerKey(ck.params, bsk_ntt, bsk_sh, gen_ksk(ck))

@@ -102,6 +102,49 @@ def _lane_iota(shape, N):
     return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
 
 
+# A/B switch: reshape-based butterflies do half the modmuls of the
+# roll-based form but rely on Mosaic handling [., m, 2, t] reshapes.
+import os as _os
+
+RESHAPE_NTT = _os.environ.get("HELM_TPU_RESHAPE_NTT", "0") == "1"
+
+
+def _ntt_fwd_reshape(x, psi, psi_sh, pi: int, p: int, N: int):
+    lead = x.shape[:-1]
+    m, t = 1, N
+    while m < N:
+        t //= 2
+        v = x.reshape(lead + (m, 2, t))
+        sl = psi[pi, m : 2 * m].reshape(m, 1)
+        sl_sh = psi_sh[pi, m : 2 * m].reshape(m, 1)
+        u = v[..., 0, :]
+        w = _mul_shoup(v[..., 1, :], sl, sl_sh, p)
+        x = jnp.stack([_add_mod(u, w, p), _sub_mod(u, w, p)], axis=-2).reshape(
+            lead + (N,)
+        )
+        m *= 2
+    return x
+
+
+def _ntt_inv_reshape(x, psi_i, psi_i_sh, pi: int, p: int, N: int, n_inv: int, n_inv_sh: int):
+    lead = x.shape[:-1]
+    t, m = 1, N
+    while m > 1:
+        h = m // 2
+        v = x.reshape(lead + (h, 2, t))
+        sl = psi_i[pi, h : 2 * h].reshape(h, 1)
+        sl_sh = psi_i_sh[pi, h : 2 * h].reshape(h, 1)
+        u = v[..., 0, :]
+        w = v[..., 1, :]
+        x = jnp.stack(
+            [_add_mod(u, w, p), _mul_shoup(_sub_mod(u, w, p), sl, sl_sh, p)],
+            axis=-2,
+        ).reshape(lead + (N,))
+        t *= 2
+        m = h
+    return _mul_shoup(x, jnp.uint32(n_inv), jnp.uint32(n_inv_sh), p)
+
+
 def _ntt_fwd(x, ftw, ftw_sh, pi: int, p: int, N: int):
     """x: u32 [..., N] residues -> bit-reversed NTT, roll-based stages."""
     L = LOG2[N]
@@ -233,7 +276,14 @@ def _make_kernel(params: TfheParams, tab: NttTables, n_inv, n_inv_sh, g_tile: in
         # forward NTTs once per (row, prime)
         for r_i in range(rows):
             for pi, p in enumerate(PRIMES):
-                row_res[r_i][pi] = _ntt_fwd(row_res[r_i][pi], ftw, ftw_sh, pi, p, N)
+                if RESHAPE_NTT:
+                    row_res[r_i][pi] = _ntt_fwd_reshape(
+                        row_res[r_i][pi], ftw, ftw_sh, pi, p, N
+                    )
+                else:
+                    row_res[r_i][pi] = _ntt_fwd(
+                        row_res[r_i][pi], ftw, ftw_sh, pi, p, N
+                    )
         conv = []
         for c2 in range(kp1):
             res_primes = []
@@ -250,10 +300,16 @@ def _make_kernel(params: TfheParams, tab: NttTables, n_inv, n_inv_sh, g_tile: in
                 while m >= 1:
                     s = jnp.where(s >= m * p, s - jnp.uint32(m * p), s)
                     m //= 2
-                y = _ntt_inv(
-                    s, itw, itw_sh, pi, p, N,
-                    int(n_inv[pi]), int(n_inv_sh[pi]),
-                )
+                if RESHAPE_NTT:
+                    y = _ntt_inv_reshape(
+                        s, itw, itw_sh, pi, p, N,
+                        int(n_inv[pi]), int(n_inv_sh[pi]),
+                    )
+                else:
+                    y = _ntt_inv(
+                        s, itw, itw_sh, pi, p, N,
+                        int(n_inv[pi]), int(n_inv_sh[pi]),
+                    )
                 res_primes.append(y)
             conv.append(_garner(res_primes, garner_c, PRIMES))
         acc = acc + jnp.stack(conv, axis=0)  # [kp1, Gt, N]
@@ -296,6 +352,9 @@ def blind_rotate_pallas(
     Gp = lwe_in.shape[0]
 
     ftw, ftw_sh, itw, itw_sh, tab = stage_twiddles(N)
+    if RESHAPE_NTT:
+        ftw, ftw_sh = tab.psi_rev, tab.psi_rev_sh
+        itw, itw_sh = tab.psi_inv_rev, tab.psi_inv_rev_sh
     abar = fops.mod_switch(jnp, lwe_in[:, :n], N).astype(jnp.int32)  # [Gp, n]
     bbar = fops.mod_switch(jnp, lwe_in[:, n], N)
     neg_b = (jnp.uint32(2 * N) - bbar) & jnp.uint32(2 * N - 1)
@@ -319,16 +378,18 @@ def blind_rotate_pallas(
         )
     )
     grid = (tiles, n)
+    tw_shape = (NP, N) if RESHAPE_NTT else (NP, L, N)
+    tw_map = (lambda i, j: (0, 0)) if RESHAPE_NTT else (lambda i, j: (0, 0, 0))
+    in_specs_tw = [
+        pl.BlockSpec(tw_shape, tw_map, memory_space=pltpu.VMEM) for _ in range(4)
+    ]
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((kp1, g_tile, N), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, 128), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NP, L, N), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NP, L, N), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NP, L, N), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NP, L, N), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            *in_specs_tw,
             pl.BlockSpec(
                 (1, rows, kp1, NP, N), lambda i, j: (j, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,

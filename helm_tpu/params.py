@@ -42,6 +42,11 @@ class TfheParams:
     msg_space_log: int = 3
     # shortint semantics (LUT / arith modes)
     message_bits: int = 1
+    # multi-bit PBS grouping factor (1 = standard; g>1 groups g LWE mask
+    # elements per blind-rotation step, analog of tfhe-rs
+    # PARAM_MULTI_BIT_..._GROUP_3 used by the reference's arith mode,
+    # src/bin/helm.rs:81-88). Requires n % grouping == 0.
+    grouping: int = 1
 
     @property
     def big_n(self) -> int:
@@ -251,6 +256,40 @@ TEST_PARAMS_NOISY = TfheParams(
     message_bits=1,
 )
 
+#: Multi-bit gates set: 2x fewer blind-rotation steps; per-step noise grows
+#: ~3x in std which the gates margin absorbs (see pbs_failure_log2 test).
+GATES_MB2 = TfheParams(
+    name="gates_mb2_v32",
+    n=512,
+    k=1,
+    N=1024,
+    pbs_base_log=7,
+    pbs_level=3,
+    ks_base_log=2,
+    ks_level=8,
+    lwe_noise_std=128.0,
+    glwe_noise_std=128.0,
+    msg_space_log=3,
+    message_bits=1,
+    grouping=2,
+)
+
+TEST_PARAMS_MB = TfheParams(
+    name="test_tiny_mb2",
+    n=16,
+    k=1,
+    N=64,
+    pbs_base_log=8,
+    pbs_level=2,
+    ks_base_log=4,
+    ks_level=4,
+    lwe_noise_std=0.0,
+    glwe_noise_std=0.0,
+    msg_space_log=3,
+    message_bits=1,
+    grouping=2,
+)
+
 ALL_PARAMS = {
     p.name: p
     for p in (
@@ -261,5 +300,7 @@ ALL_PARAMS = {
         TEST_PARAMS_LUT,
         TEST_PARAMS_ARITH,
         TEST_PARAMS_NOISY,
+        GATES_MB2,
+        TEST_PARAMS_MB,
     )
 }

@@ -146,3 +146,30 @@ endmodule
     out = e.decrypt_outputs(valid, from_valid=True)
     # s1 latches NOT(a)=1 after cycle 1; READY goes high at cycle 2
     assert out["out"] is True
+
+
+def test_wide_lut_shannon_decomposition(lut_engine):
+    """5-input LUTs lower to 3-input trees (reference C11 capability)."""
+    import random
+
+    rnd = random.Random(7)
+    table = [rnd.randint(0, 1) for _ in range(32)]
+    const = sum(b << i for i, b in enumerate(table))
+    src = f"""
+module m(a, b, c, d, e, y);
+  input a, b, c, d, e;
+  output y;
+  lut g0({const}, a, b, c, d, e, y);
+endmodule
+"""
+    from helm_tpu.circuit.verilog import parse_verilog
+
+    nl = parse_verilog(src)
+    e = lut_engine
+    e.compile(nl)
+    for trial in range(6):
+        bits = [rnd.randint(0, 1) for _ in range(5)]
+        inputs = dict(zip("abcde", (bool(x) for x in bits)))
+        out = e.decrypt_outputs(e.evaluate(e.encrypt_inputs(inputs)))
+        idx = sum(bits[i] << (4 - i) for i in range(5))  # first wire = MSB
+        assert out["y"] == table[idx], (trial, bits)
