@@ -32,7 +32,8 @@ def main():
 
     G = int(os.environ.get("BENCH_BATCH", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "4"))
-    p = P.GATES_PARAMS
+    backend = os.environ.get("BENCH_BACKEND", "jnp")  # jnp | pallas | mxu
+    p = getattr(P, os.environ.get("BENCH_PARAMS", "GATES_TPU"))
 
     ck = lwe.keygen(p, seed=2024)
     dsk = pbs_jnp.DeviceServerKey.from_host(gen_server_key(ck))
@@ -45,7 +46,18 @@ def main():
     testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
     x = jnp.asarray(lin)
 
-    bs = jax.jit(pbs_jnp.bootstrap)
+    if backend == "pallas":
+        from helm_tpu.ops.pallas_pbs import bootstrap_pallas
+
+        def bs(dsk, x, tv):
+            return bootstrap_pallas(dsk, x, tv)
+    elif backend == "mxu":
+        from helm_tpu.ops.mxu_pbs import bootstrap_mxu
+
+        def bs(dsk, x, tv):
+            return bootstrap_mxu(dsk, x, tv)
+    else:
+        bs = jax.jit(pbs_jnp.bootstrap)
     out = bs(dsk, x, testv)
     out.block_until_ready()  # compile + warmup
 

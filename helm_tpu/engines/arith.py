@@ -46,6 +46,12 @@ class ArithEngine:
         self.ops = RadixOps(self.params, self.dsk)
         self.plan = None
 
+    def set_sharding(self, batch_shard, repl_shard) -> None:
+        """Shard every radix PBS batch across the mesh (parallel/mesh.py)."""
+        from . import radix
+
+        radix.BATCH_SHARD[0] = batch_shard
+
     def compile(self, netlist: Netlist) -> None:
         circuit = Circuit(
             netlist.gates, netlist.inputs, netlist.outputs, netlist.dff_outputs

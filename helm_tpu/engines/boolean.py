@@ -26,8 +26,9 @@ from ..fhe.server_key import gen_server_key
 from ..params import GATES_PARAMS, LUT_PARAMS, Q, TfheParams
 
 
-@partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,))
 def _pbs_level_step(
+    backend,
     shard,
     dsk,
     wires,
@@ -53,7 +54,12 @@ def _pbs_level_step(
         pre = jax.lax.with_sharding_constraint(pre, shard)
         if testv.shape[0] == pre.shape[0]:
             testv = jax.lax.with_sharding_constraint(testv, shard)
-    outs = pbs_jnp.bootstrap(dsk, pre, testv)
+    if backend == "pallas":
+        from ..ops.pallas_pbs import bootstrap_pallas
+
+        outs = bootstrap_pallas(dsk, pre, testv)
+    else:
+        outs = pbs_jnp.bootstrap(dsk, pre, testv)
     wires = wires.at[slot_dst].set(outs)
     mval = outs[mux_pairs[:, 0]] + outs[mux_pairs[:, 1]]
     mval = mval.at[:, n].add(jnp.uint32(Q8))
@@ -97,8 +103,16 @@ def _ready_step_lut(dsk, ready, new, valid, testv_and, delta):
 class BooleanEngine:
     """Gates- or LUTs-mode encrypted circuit evaluator."""
 
-    def __init__(self, mode: str = "gates", params: TfheParams | None = None, seed=None):
+    def __init__(
+        self,
+        mode: str = "gates",
+        params: TfheParams | None = None,
+        seed=None,
+        backend: str = "jnp",
+    ):
         assert mode in ("gates", "lut")
+        assert backend in ("jnp", "pallas")
+        self.backend = backend
         self.mode = mode
         self.params = params or (GATES_PARAMS if mode == "gates" else LUT_PARAMS)
         self.client_key = lwe.keygen(self.params, seed)
@@ -217,6 +231,7 @@ class BooleanEngine:
                 else:
                     testv = self._testv_gates
                 wires = _pbs_level_step(
+                    self.backend,
                     self._batch_shard,
                     self.dsk,
                     wires,

@@ -61,6 +61,15 @@ class RadixTestPolys:
 
 _bootstrap_jit = jax.jit(pbs_jnp.bootstrap)
 
+#: optional NamedSharding applied to every radix PBS batch (parallel/mesh.py)
+BATCH_SHARD = [None]
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _bootstrap_sharded(shard, dsk, pre, tv):
+    pre = jax.lax.with_sharding_constraint(pre, shard)
+    return pbs_jnp.bootstrap(dsk, pre, tv)
+
 
 def _bootstrap_multi(dsk, pres: list, tvs: list):
     """One launch for several (pre, testv) groups of equal width."""
@@ -69,7 +78,10 @@ def _bootstrap_multi(dsk, pres: list, tvs: list):
     tv = jnp.concatenate(
         [jnp.broadcast_to(t, (s, t.shape[-1])) for s, t in zip(sizes, tvs)]
     )
-    out = _bootstrap_jit(dsk, pre, tv)
+    if BATCH_SHARD[0] is not None:
+        out = _bootstrap_sharded(BATCH_SHARD[0], dsk, pre, tv)
+    else:
+        out = _bootstrap_jit(dsk, pre, tv)
     res, off = [], 0
     for s in sizes:
         res.append(out[off : off + s])

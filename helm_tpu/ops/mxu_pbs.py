@@ -1,0 +1,514 @@
+"""Fused Pallas blind rotation with the MXU 4-step NTT (N = 8 x 128).
+
+Same schedule as ops/pallas_pbs.py (grid (tiles, n), VMEM-resident
+accumulator, auto-pipelined BSK), but with the transform work mapped onto
+the MXU. Math and tables: ops/mxu_ntt.py; results are bit-identical to the
+jnp pipeline (the BSK is the standard NTT-domain key lane-permuted by
+`perm_from_std`).
+
+Kernel data layout (chosen so every op is a Mosaic-legal idiom):
+every polynomial batch lives as u32 [N2=128 (jB, sublanes), Gt*8 (lanes)],
+lane index = gate * 8 + jA (g-major). Consequences:
+
+- per-gate rotation amounts are pre-expanded host-side (np.repeat x8), so
+  bit extraction needs no in-kernel relayout;
+- per-jA constants (stage twiddles, twist, BSK slices) expand with
+  `pltpu.repeat` — which is TILE-wise, matching g-major order exactly;
+- the 8-point stage over jA works on 8-lane blocks with plain static rolls
+  (butterfly reads never cross a gate's block);
+- the 128-point stage contracts jB = SUBLANES: one left-matmul
+  [128,128] @ [128, Gt*8*rows] per prime per int8 limb pair on the MXU;
+- rotation: sublane rolls for the jB bits with a block-cyclic jA carry.
+
+Coefficient mapping: poly index j = 128*jA + jB (ops/mxu_ntt.py order).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+# perf-ablation switches (comma list): norot, nosub8, nomm, noptw, nogarner
+ABLATE = set(os.environ.get("HELM_TPU_MXU_ABLATE", "").split(","))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fhe.modring import get_tables, primes_for
+from ..params import TfheParams
+from . import mxu_ntt
+from .mxu_ntt import LOG_N1, N1
+
+LOG2 = {1 << i: i for i in range(16)}
+
+
+def _msub(a, b, p: int):
+    return jnp.where(a < b, a - b + jnp.uint32(p), a - b)
+
+
+def _madd(a, b, p: int):
+    r = a + b
+    return jnp.where(r >= p, r - jnp.uint32(p), r)
+
+
+def _mshoup(a, w, w_sh, p: int):
+    q = (a * w_sh) >> jnp.uint32(16)
+    r = a * w - q * jnp.uint32(p)
+    return jnp.where(r >= p, r - jnp.uint32(p), r)
+
+
+def _rollS(x, s: int):  # sublanes (jB), axis -2
+    return pltpu.roll(x, s % x.shape[-2], axis=x.ndim - 2)
+
+
+def _rollL(x, s: int):  # lanes (jA*Gt + g), axis -1
+    return pltpu.roll(x, s % x.shape[-1], axis=x.ndim - 1)
+
+
+def _iotaS(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 2)
+
+
+def _iotaL(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+
+
+def _block_roll(x, s: int):
+    """Cyclic roll by s within each 8-lane (jA) block: out[.., g*8+jA] =
+    x[.., g*8 + (jA - s) % 8]. Two static rolls + a lane-position select."""
+    a = _rollL(x, s % N1)
+    b = _rollL(x, (s % N1) - N1)
+    pos = _iotaL(x.shape) % N1
+    # pos >= s: source l-s is in-block via the +s roll; pos < s wraps via b
+    return jnp.where(pos < (s % N1), b, a)
+
+
+def _negacyclic_rotate(x, bits, N: int, gt: int):
+    """x: u32 [N2, gt*8]; bits[b]: u32 [1, gt*8] per-gate bit vectors
+    (pre-expanded). X^amt * x with amt = sum 2^b bits."""
+    N2 = N // N1
+    subl = _iotaS(x.shape)
+    pos = _iotaL(x.shape) % N1  # jA within the gate's block
+    # jB bits: sublane roll; wrapped sublanes borrow from jA-1 (block-cyclic,
+    # negacyclic when jA-1 wraps past 0)
+    for b in range(LOG2[N2]):
+        s = 1 << b
+        rolled = _rollS(x, s)
+        carried = _block_roll(rolled, 1)
+        carried = jnp.where(pos == 0, jnp.uint32(0) - carried, carried)
+        rot = jnp.where(subl < s, carried, rolled)
+        x = jnp.where(bits[b] == 1, rot, x)
+    # jA bits: block-cyclic lane rolls with sign on wrapped positions
+    for b in range(LOG_N1):
+        s = 1 << b
+        rolled = _block_roll(x, s)
+        rot = jnp.where(pos < s, jnp.uint32(0) - rolled, rolled)
+        x = jnp.where(bits[LOG2[N2] + b] == 1, rot, x)
+    # X^N = -1
+    return jnp.where(bits[LOG2[N]] == 1, jnp.uint32(0) - x, x)
+
+
+def _decompose(v, base_log: int, levels: int):
+    total = base_log * levels
+    b = 1 << base_log
+    r = ((v >> jnp.uint32(32 - total - 1)) + jnp.uint32(1)) >> 1
+    r = r & jnp.uint32((1 << total) - 1)
+    digits = []
+    for _ in range(levels):
+        d = (r & jnp.uint32(b - 1)).astype(jnp.int32)
+        carry = d >= (b // 2)
+        d = jnp.where(carry, d - b, d)
+        r = (r >> jnp.uint32(base_log)) + carry.astype(jnp.uint32)
+        digits.append(d)
+    digits.reverse()
+    return digits
+
+
+def _sublane8_fwd(x, stw_pi, stw_sh_pi, p: int, gt: int):
+    """negacyclic-8 stages over the jA lane-blocks. x: [N2, 8*gt].
+
+    stw_pi: [3, 8] lane vectors (per stage, per jA) — tile-expanded."""
+    reps = x.shape[-1] // N1  # gate-row blocks sharing the jA pattern
+    blockpos = _iotaL(x.shape) % N1
+    for s in range(LOG_N1):
+        t = N1 >> (s + 1)
+        w = pltpu.repeat(stw_pi[s][None, :], reps, axis=1)
+        w_sh = pltpu.repeat(stw_sh_pi[s][None, :], reps, axis=1)
+        # butterfly reads stay inside each 8-lane block (see module docs)
+        t1 = _mshoup(_rollL(x, -t), w, w_sh, p)
+        low = _madd(x, t1, p)
+        high = _rollL(_msub(x, t1, p), t)
+        x = jnp.where((blockpos % (2 * t)) < t, low, high)
+    return x
+
+
+def _sublane8_inv(x, istw_pi, istw_sh_pi, p: int, gt: int):
+    reps = x.shape[-1] // N1
+    blockpos = _iotaL(x.shape) % N1
+    for s in range(LOG_N1):
+        t = 1 << s
+        w = pltpu.repeat(istw_pi[s][None, :], reps, axis=1)
+        w_sh = pltpu.repeat(istw_sh_pi[s][None, :], reps, axis=1)
+        v = _rollL(x, -t)
+        low = _madd(x, v, p)
+        high = _rollL(_mshoup(_msub(x, v, p), w, w_sh, p), t)
+        x = jnp.where((blockpos % (2 * t)) < t, low, high)
+    return x
+
+
+def _lane128_matmul(u, w2t0, w2t1, p: int, inv_p: float, c16: int, c16_sh: int):
+    """(W2^T @ u) mod p: contraction over jB sublanes on the MXU.
+
+    u: u32 [N2, L] in [0,p); w2t*: f32 [N2, N2] transposed balanced limb
+    matrices (W = w0 + 256*w1, |w_i| < 128). All matmuls run in f32 — every
+    partial product is integer-exact below 2^24 — so there is no int8
+    packing relayout and the epilogue stays on native f32/u32 ops.
+    """
+    t32 = u.astype(jnp.int32)
+    bal = jnp.where(t32 > p // 2, t32 - p, t32).astype(jnp.float32)
+    a1 = jnp.floor(bal * (1.0 / 256.0) + 0.5)
+    a0 = bal - 256.0 * a1  # |a0| <= 128, |a1| <= 128
+
+    def mm(w, a):
+        return jax.lax.dot_general(
+            w, a, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    m00 = mm(w2t0, a0)
+    m01 = mm(w2t1, a0)
+    m10 = mm(w2t0, a1)
+    m11 = mm(w2t1, a1)
+
+    def redf(t):  # f32 integer-valued -> balanced mod p (f32, exact)
+        q = jnp.floor(t * inv_p + 0.5)
+        return t - q * p
+
+    def to_u(t):  # balanced (|t| <= 1.5p) -> u32 in [0, p)
+        r = (t.astype(jnp.int32) + 2 * p).astype(jnp.uint32)
+        r = jnp.where(r >= 2 * p, r - jnp.uint32(2 * p), r)
+        return jnp.where(r >= p, r - jnp.uint32(p), r)
+
+    lo_u = to_u(redf(m00))
+    mid_u = to_u(redf(m01 + m10))  # sum <= 2^22, exact
+    hi_u = to_u(redf(m11))
+    # weights 2^8 and 2^16 (mod p) applied as integer Shoup muls — f32
+    # products would exceed the 2^24 exact-integer range
+    c8, c8_sh = (1 << 8) % p, ((((1 << 8) % p) << 16) // p)
+    r = _madd(lo_u, _mshoup(mid_u, jnp.uint32(c8), jnp.uint32(c8_sh), p), p)
+    return _madd(r, _mshoup(hi_u, jnp.uint32(c16), jnp.uint32(c16_sh), p), p)
+
+
+def _garner(res, g, primes):
+    p0, p1, p2, p3 = primes
+    r0, r1, r2, r3 = res
+    u32 = jnp.uint32
+
+    def ms(a, w, w_sh, p):
+        return _mshoup(a, u32(w), u32(w_sh), p)
+
+    v0 = r0
+    v1 = ms(_msub(r1, v0, p1), g.inv_p0_mod_p1, g.inv_p0_mod_p1_sh, p1)
+    m2 = _madd(v0, ms(v1, g.p0_mod_p2, g.p0_mod_p2_sh, p2), p2)
+    v2 = ms(_msub(r2, m2, p2), g.inv_p01_mod_p2, g.inv_p01_mod_p2_sh, p2)
+    m3 = _madd(v0, ms(v1, g.p0_mod_p3, g.p0_mod_p3_sh, p3), p3)
+    m3 = _madd(m3, ms(v2, g.p01_mod_p3, g.p01_mod_p3_sh, p3), p3)
+    v3 = ms(_msub(r3, m3, p3), g.inv_p012_mod_p3, g.inv_p012_mod_p3_sh, p3)
+    x = v0 + u32(p0) * (v1 + u32(p1) * (v2 + u32(p2) * v3))
+    return jnp.where(v3 > u32(g.half_p3), x - u32(g.prod_mod_q), x)
+
+
+def _make_kernel(params: TfheParams, g_tile: int):
+    N, k, n = params.N, params.k, params.n
+    N2 = N // N1
+    kp1 = k + 1
+    levels = params.pbs_level
+    rows_tot = kp1 * levels
+    tab = get_tables(N)
+    PRIMES = tuple(int(p) for p in tab.primes)
+    INV_P = tuple(1.0 / p for p in PRIMES)
+    C16 = tuple((1 << 16) % p for p in PRIMES)
+    C16_SH = tuple((((1 << 16) % p) << 16) // p for p in PRIMES)
+    garner_c = tab.garner
+    L = N1 * g_tile  # lanes per poly batch
+
+    def kernel(
+        acc0_ref,  # [kp1, N2, L]
+        abar_ref,  # [1, n, 128] int32 (lane = gate)
+        stw_ref,  # [NP, 3, 8]
+        stw_sh_ref,
+        istw_ref,
+        istw_sh_ref,
+        tw_ref,  # [NP, N2, 8] twist (fA in lanes)
+        tw_sh_ref,
+        twi_ref,
+        twi_sh_ref,
+        w2t_ref,  # [NP, 2, N2, N2] f32 balanced limbs, transposed
+        w2ti_ref,
+        bsk_ref,  # [1, rows, kp1, NP, N2, 8] (mxu order, fB sublanes)
+        bsk_sh_ref,
+        out_ref,  # [kp1, N2, L]
+        acc_scr,
+    ):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_scr[...] = acc0_ref[0]
+
+        # rotation amounts pre-expanded host-side to g-major (x8) order
+        a_i = abar_ref[0, j, :]  # [L] lane vector
+        bits = [
+            ((a_i >> b) & 1).astype(jnp.uint32)[None, :]
+            for b in range(LOG2[2 * N] + 1)
+        ]
+
+        acc = [acc_scr[c] for c in range(kp1)]  # [N2, L] each
+        if "norot" in ABLATE:
+            rot = [a + jnp.uint32(123) for a in acc]
+        else:
+            rot = [_negacyclic_rotate(a, bits, N, g_tile) for a in acc]
+        digs = []
+        for c in range(kp1):
+            digs.extend(_decompose(rot[c] - acc[c], params.pbs_base_log, levels))
+
+        conv_ntt = [[None] * len(PRIMES) for _ in range(kp1)]
+        fwd = [[None] * len(PRIMES) for _ in range(rows_tot)]
+        for pi, p in enumerate(PRIMES):
+            stacked = jnp.concatenate(
+                [jnp.where(d < 0, d + p, d).astype(jnp.uint32) for d in digs],
+                axis=1,
+            )  # [N2, rows*L]
+            if "nosub8" in ABLATE:
+                s1 = stacked
+            else:
+                s1 = _sublane8_fwd(
+                    stacked,
+                    [stw_ref[pi, s] for s in range(LOG_N1)],
+                    [stw_sh_ref[pi, s] for s in range(LOG_N1)],
+                    p,
+                    g_tile,
+                )
+            twl = pltpu.repeat(tw_ref[pi], g_tile * rows_tot, axis=1)
+            twl_sh = pltpu.repeat(tw_sh_ref[pi], g_tile * rows_tot, axis=1)
+            s1 = _mshoup(s1, twl, twl_sh, p)
+            if "nomm" in ABLATE:
+                f = s1
+            else:
+                f = _lane128_matmul(
+                    s1, w2t_ref[pi, 0], w2t_ref[pi, 1], p, INV_P[pi],
+                    C16[pi], C16_SH[pi],
+                )
+            for r in range(rows_tot):
+                fwd[r][pi] = f[:, r * L : (r + 1) * L]
+        for c2 in range(kp1):
+            for pi, p in enumerate(PRIMES):
+                s = None
+                for r in range(rows_tot):
+                    w = pltpu.repeat(bsk_ref[0, r, c2, pi], g_tile, axis=1)
+                    w_sh = pltpu.repeat(
+                        bsk_sh_ref[0, r, c2, pi], g_tile, axis=1
+                    )
+                    t = _mshoup(fwd[r][pi], w, w_sh, p)
+                    s = t if s is None else s + t
+                m = 4
+                while m >= 1:
+                    s = jnp.where(s >= m * p, s - jnp.uint32(m * p), s)
+                    m //= 2
+                conv_ntt[c2][pi] = s
+        # inverse: both polys at once per prime
+        outs = []
+        for pi, p in enumerate(PRIMES):
+            stacked = jnp.concatenate(
+                [conv_ntt[c][pi] for c in range(kp1)], axis=1
+            )  # [N2, kp1*L]
+            v = _lane128_matmul(
+                stacked, w2ti_ref[pi, 0], w2ti_ref[pi, 1], p, INV_P[pi],
+                C16[pi], C16_SH[pi],
+            )
+            twl = pltpu.repeat(twi_ref[pi], g_tile * kp1, axis=1)
+            twl_sh = pltpu.repeat(twi_sh_ref[pi], g_tile * kp1, axis=1)
+            v = _mshoup(v, twl, twl_sh, p)
+            v = _sublane8_inv(
+                v,
+                [istw_ref[pi, s] for s in range(LOG_N1)],
+                [istw_sh_ref[pi, s] for s in range(LOG_N1)],
+                p,
+                g_tile,
+            )
+            outs.append(v)
+        for c in range(kp1):
+            res = [outs[pi][:, c * L : (c + 1) * L] for pi in range(len(PRIMES))]
+            acc_scr[c] = acc[c] + _garner(res, garner_c, PRIMES)
+
+        @pl.when(j == n - 1)
+        def _():
+            out_ref[0] = acc_scr[...]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _mxu_key_cache():
+    return {}
+
+
+def mxu_server_key(dsk):
+    """BSK permuted into MXU order and laid out [.., N2(fB), 8(fA)]."""
+    cache = _mxu_key_cache()
+    key = id(dsk.bsk_ntt)
+    if key not in cache:
+        t = mxu_ntt.mxu_tables(dsk.params.N)
+        perm = jnp.asarray(t["perm_from_std"])
+        n, rows, kp1, NP, N = dsk.bsk_ntt.shape
+        N2 = N // N1
+
+        def conv(b):
+            # [.., N] --perm--> mxu flat (fA*N2 + fB) -> [.., fA, fB] -> [.., fB, fA]
+            x = b[..., perm].reshape(n, rows, kp1, NP, N1, N2)
+            return jnp.transpose(x, (0, 1, 2, 3, 5, 4))
+
+        cache[key] = (conv(dsk.bsk_ntt), conv(dsk.bsk_ntt_sh))
+    return cache[key]
+
+
+@functools.partial(jax.jit, static_argnames=("params", "g_tile", "interpret"))
+def blind_rotate_mxu(
+    params: TfheParams,
+    bsk_mxu,
+    bsk_mxu_sh,
+    lwe_in,
+    testv,
+    g_tile: int = 16,
+    interpret: bool = False,
+):
+    from ..fhe import ops as fops
+
+    N, k, n = params.N, params.k, params.n
+    N2 = N // N1
+    kp1 = k + 1
+    rows = kp1 * params.pbs_level
+    NP = len(primes_for(N))
+    G = lwe_in.shape[0]
+    if G % g_tile:
+        pad = g_tile - G % g_tile
+        lwe_in = jnp.concatenate(
+            [lwe_in, jnp.zeros((pad, n + 1), jnp.uint32)], axis=0
+        )
+        if testv.shape[0] != 1:
+            testv = jnp.concatenate(
+                [testv, jnp.zeros((pad, N), jnp.uint32)], axis=0
+            )
+    Gp = lwe_in.shape[0]
+    tiles = Gp // g_tile
+    L = N1 * g_tile
+
+    t = mxu_ntt.mxu_tables(N)
+    abar = fops.mod_switch(jnp, lwe_in[:, :n], N).astype(jnp.int32)
+    bbar = fops.mod_switch(jnp, lwe_in[:, n], N)
+    neg_b = (jnp.uint32(2 * N) - bbar) & jnp.uint32(2 * N - 1)
+    body = fops.negacyclic_rotate(jnp, jnp.broadcast_to(testv, (Gp, N)), neg_b, N)
+    # [Gp, N] -> [tiles, kp1, N2(jB), L(g, jA)] (g-major lanes)
+    body = body.reshape(tiles, g_tile, N1, N2)
+    body = jnp.transpose(body, (0, 3, 1, 2)).reshape(tiles, 1, N2, L)
+    acc0 = jnp.concatenate(
+        [jnp.zeros((tiles, k, N2, L), jnp.uint32), body], axis=1
+    )
+    # amounts pre-expanded x8 so each gate's block of lanes shares its value
+    abar_e = jnp.repeat(
+        abar.reshape(tiles, g_tile, n), N1, axis=1
+    ).transpose(0, 2, 1)  # [tiles, n, L]
+
+    # transposed twist/W2 tables for this layout
+    tw_t = jnp.transpose(jnp.asarray(t["tw"]), (0, 2, 1))  # [NP, N2, 8]
+    tw_sh_t = jnp.transpose(jnp.asarray(t["tw_sh"]), (0, 2, 1))
+    twi_t = jnp.transpose(jnp.asarray(t["twi"]), (0, 2, 1))
+    twi_sh_t = jnp.transpose(jnp.asarray(t["twi_sh"]), (0, 2, 1))
+    w2t = jnp.transpose(
+        jnp.asarray(t["w2_limbs"], dtype=jnp.float32), (0, 1, 3, 2)
+    )
+    w2ti = jnp.transpose(
+        jnp.asarray(t["w2i_limbs"], dtype=jnp.float32), (0, 1, 3, 2)
+    )
+
+    kernel = _make_kernel(params, g_tile)
+
+    def cmap(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape, lambda i, j, _nd=nd: (0,) * _nd, memory_space=pltpu.VMEM
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(tiles, n),
+        in_specs=[
+            pl.BlockSpec(
+                (1, kp1, N2, L), lambda i, j: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, n, L), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            cmap((NP, LOG_N1, N1)),
+            cmap((NP, LOG_N1, N1)),
+            cmap((NP, LOG_N1, N1)),
+            cmap((NP, LOG_N1, N1)),
+            cmap((NP, N2, N1)),
+            cmap((NP, N2, N1)),
+            cmap((NP, N2, N1)),
+            cmap((NP, N2, N1)),
+            cmap((NP, 2, N2, N2)),
+            cmap((NP, 2, N2, N2)),
+            pl.BlockSpec(
+                (1, rows, kp1, NP, N2, N1), lambda i, j: (j, 0, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, rows, kp1, NP, N2, N1), lambda i, j: (j, 0, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, kp1, N2, L), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((tiles, kp1, N2, L), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((kp1, N2, L), jnp.uint32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(
+        acc0,
+        abar_e,
+        jnp.asarray(t["stage_tw"]),
+        jnp.asarray(t["stage_tw_sh"]),
+        jnp.asarray(t["istage_tw"]),
+        jnp.asarray(t["istage_tw_sh"]),
+        tw_t,
+        tw_sh_t,
+        twi_t,
+        twi_sh_t,
+        w2t,
+        w2ti,
+        bsk_mxu,
+        bsk_mxu_sh,
+    )
+    # [tiles, kp1, N2, L(g, jA)] -> [Gp, kp1, N]
+    acc = out.reshape(tiles, kp1, N2, g_tile, N1)
+    acc = jnp.transpose(acc, (0, 3, 1, 4, 2)).reshape(Gp, kp1, N)
+    return acc[:G]
+
+
+def bootstrap_mxu(dsk, lwe_in, testv, g_tile: int = 16, interpret: bool = False):
+    """Full PBS with the MXU blind rotation; bit-identical to pbs_jnp."""
+    from ..fhe import ops as fops
+    from ..fhe.pbs_jnp import keyswitch
+
+    bsk_mxu, bsk_mxu_sh = mxu_server_key(dsk)
+    acc = blind_rotate_mxu(
+        dsk.params, bsk_mxu, bsk_mxu_sh, lwe_in, testv,
+        g_tile=g_tile, interpret=interpret,
+    )
+    big = fops.sample_extract(jnp, acc, dsk.params.k, dsk.params.N)
+    return keyswitch(dsk, big)

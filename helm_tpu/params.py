@@ -256,6 +256,24 @@ TEST_PARAMS_NOISY = TfheParams(
     message_bits=1,
 )
 
+#: TPU-tuned gates set: level 2 with a wider base cuts the per-iteration
+#: transform count from 8 to 6 at the same failure rate (needs the quieter
+#: BSK sigma=8; ~29-bit modulus-to-noise gap at N=1024 — see SECURITY.md).
+GATES_TPU = TfheParams(
+    name="gates_tpu_v32",
+    n=512,
+    k=1,
+    N=1024,
+    pbs_base_log=11,
+    pbs_level=2,
+    ks_base_log=2,
+    ks_level=8,
+    lwe_noise_std=128.0,
+    glwe_noise_std=8.0,
+    msg_space_log=3,
+    message_bits=1,
+)
+
 #: Multi-bit gates set: 2x fewer blind-rotation steps; per-step noise grows
 #: ~3x in std which the gates margin absorbs (see pbs_failure_log2 test).
 GATES_MB2 = TfheParams(
@@ -300,6 +318,7 @@ ALL_PARAMS = {
         TEST_PARAMS_LUT,
         TEST_PARAMS_ARITH,
         TEST_PARAMS_NOISY,
+        GATES_TPU,
         GATES_MB2,
         TEST_PARAMS_MB,
     )

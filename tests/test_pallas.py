@@ -69,3 +69,42 @@ def test_pallas_ragged_batch(keys):
         )
     )
     np.testing.assert_array_equal(got, ref)
+
+
+def test_mxu_blind_rotate_matches_jnp(keys):
+    from helm_tpu.ops import mxu_pbs
+
+    p, ck, dsk = keys
+    G = 8
+    rng = np.random.default_rng(4)
+    bits = rng.integers(0, 2, G).astype(bool)
+    ct = lwe.encrypt(ck, lwe.encode_bool(bits))
+    testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
+    ref = np.asarray(jax.jit(pbs_jnp.blind_rotate)(dsk, jnp.asarray(ct), testv))
+    bsk_mxu, bsk_mxu_sh = mxu_pbs.mxu_server_key(dsk)
+    got = np.asarray(
+        mxu_pbs.blind_rotate_mxu(
+            p, bsk_mxu, bsk_mxu_sh, jnp.asarray(ct), testv,
+            g_tile=4, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_mxu_bootstrap_truth_table(keys):
+    from helm_tpu.ops import mxu_pbs
+
+    p, ck, dsk = keys
+    combos = [(a, b) for a in (False, True) for b in (False, True)]
+    c1 = lwe.encrypt(ck, lwe.encode_bool([a for a, _ in combos]))
+    c2 = lwe.encrypt(ck, lwe.encode_bool([b for _, b in combos]))
+    lin = (c1 + c2).astype(np.uint32)
+    lin[:, p.n] += np.uint32((-(1 << 29)) % (1 << 32))
+    out = np.asarray(
+        mxu_pbs.bootstrap_mxu(
+            dsk, jnp.asarray(lin), jnp.asarray(pbs_jnp.gates_test_poly(p)),
+            g_tile=4, interpret=True,
+        )
+    )
+    got = list(lwe.decode_bool(lwe.decrypt_phase(ck, out)))
+    assert got == [a and b for a, b in combos]
