@@ -127,16 +127,15 @@ def _decompose(v, base_log: int, levels: int):
     return digits
 
 
-def _sublane8_fwd(x, stw_pi, stw_sh_pi, p: int, gt: int):
+def _sublane8_fwd(x, stw_pi, stw_sh_pi, p: int, gt: int, e8f):
     """negacyclic-8 stages over the jA lane-blocks. x: [N2, 8*gt].
 
-    stw_pi: [3, 8] lane vectors (per stage, per jA) — tile-expanded."""
-    reps = x.shape[-1] // N1  # gate-row blocks sharing the jA pattern
+    stw_pi: [3, 8] lane vectors (per stage, per jA) — matmul-expanded."""
     blockpos = _iotaL(x.shape) % N1
     for s in range(LOG_N1):
         t = N1 >> (s + 1)
-        w = pltpu.repeat(stw_pi[s][None, :], reps, axis=1)
-        w_sh = pltpu.repeat(stw_sh_pi[s][None, :], reps, axis=1)
+        w = _expand8(stw_pi[s][None, :], e8f[:, : x.shape[-1]])
+        w_sh = _expand8(stw_sh_pi[s][None, :], e8f[:, : x.shape[-1]])
         # butterfly reads stay inside each 8-lane block (see module docs)
         t1 = _mshoup(_rollL(x, -t), w, w_sh, p)
         low = _madd(x, t1, p)
@@ -145,18 +144,42 @@ def _sublane8_fwd(x, stw_pi, stw_sh_pi, p: int, gt: int):
     return x
 
 
-def _sublane8_inv(x, istw_pi, istw_sh_pi, p: int, gt: int):
+def _sublane8_inv(x, istw_pi, istw_sh_pi, p: int, gt: int, e8f):
     reps = x.shape[-1] // N1
     blockpos = _iotaL(x.shape) % N1
     for s in range(LOG_N1):
         t = 1 << s
-        w = pltpu.repeat(istw_pi[s][None, :], reps, axis=1)
-        w_sh = pltpu.repeat(istw_sh_pi[s][None, :], reps, axis=1)
+        w = _expand8(istw_pi[s][None, :], e8f[:, : x.shape[-1]])
+        w_sh = _expand8(istw_sh_pi[s][None, :], e8f[:, : x.shape[-1]])
         v = _rollL(x, -t)
         low = _madd(x, v, p)
         high = _rollL(_mshoup(_msub(x, v, p), w, w_sh, p), t)
         x = jnp.where((blockpos % (2 * t)) < t, low, high)
     return x
+
+
+def _expand8(x2d, e8f):
+    """Lane expansion [R, 8] -> [R, L] (pattern-tiled) via one f32 matmul.
+
+    Replaces pltpu.repeat on skinny [.., 8]-lane sources, which Mosaic
+    lowers ~100x slower than an MXU pass. Values must be < 2^24 (true for
+    all mod-p tables). e8f: f32 [8, L] with e8f[jA, g*8+jA] = 1.
+    """
+    # Split into two 8-bit limbs so the default (single-bf16-pass) matmul is
+    # exact: integers <= 256 are bf16-representable, and the MXU accumulates
+    # in f32. (A direct f32 dot is silently bf16-truncated; HIGHEST costs 6
+    # passes.) Mosaic has no u32<->f32 casts; route through int32.
+    xi = x2d.astype(jnp.int32)
+    lo = (xi & 255).astype(jnp.float32)
+    hi = (xi >> 8).astype(jnp.float32)
+
+    def mm(a):
+        return jax.lax.dot_general(
+            a, e8f, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+
+    return (mm(lo) + (mm(hi) << 8)).astype(jnp.uint32)
 
 
 def _lane128_matmul(u, w2t0, w2t1, p: int, inv_p: float, c16: int, c16_sh: int):
@@ -247,6 +270,7 @@ def _make_kernel(params: TfheParams, g_tile: int):
         twi_sh_ref,
         w2t_ref,  # [NP, 2, N2, N2] f32 balanced limbs, transposed
         w2ti_ref,
+        e8_ref,  # [8, wide] f32 lane-expansion matrix
         bsk_ref,  # [1, rows, kp1, NP, N2, 8] (mxu order, fB sublanes)
         bsk_sh_ref,
         out_ref,  # [kp1, N2, L]
@@ -265,6 +289,7 @@ def _make_kernel(params: TfheParams, g_tile: int):
             for b in range(LOG2[2 * N] + 1)
         ]
 
+        e8f = e8_ref[...]
         acc = [acc_scr[c] for c in range(kp1)]  # [N2, L] each
         if "norot" in ABLATE:
             rot = [a + jnp.uint32(123) for a in acc]
@@ -290,9 +315,10 @@ def _make_kernel(params: TfheParams, g_tile: int):
                     [stw_sh_ref[pi, s] for s in range(LOG_N1)],
                     p,
                     g_tile,
+                    e8f,
                 )
-            twl = pltpu.repeat(tw_ref[pi], g_tile * rows_tot, axis=1)
-            twl_sh = pltpu.repeat(tw_sh_ref[pi], g_tile * rows_tot, axis=1)
+            twl = _expand8(tw_ref[pi], e8f)
+            twl_sh = _expand8(tw_sh_ref[pi], e8f)
             s1 = _mshoup(s1, twl, twl_sh, p)
             if "nomm" in ABLATE:
                 f = s1
@@ -303,15 +329,22 @@ def _make_kernel(params: TfheParams, g_tile: int):
                 )
             for r in range(rows_tot):
                 fwd[r][pi] = f[:, r * L : (r + 1) * L]
+        nslab = rows_tot * kp1 * len(PRIMES)
+        bsk_exp = _expand8(
+            bsk_ref[0].reshape(nslab * N2, N1), e8f[:, :L]
+        ).reshape(nslab, N2, L)
+        bsk_sh_exp = _expand8(
+            bsk_sh_ref[0].reshape(nslab * N2, N1), e8f[:, :L]
+        ).reshape(nslab, N2, L)
         for c2 in range(kp1):
             for pi, p in enumerate(PRIMES):
+                if "noptw" in ABLATE:
+                    conv_ntt[c2][pi] = fwd[0][pi]
+                    continue
                 s = None
                 for r in range(rows_tot):
-                    w = pltpu.repeat(bsk_ref[0, r, c2, pi], g_tile, axis=1)
-                    w_sh = pltpu.repeat(
-                        bsk_sh_ref[0, r, c2, pi], g_tile, axis=1
-                    )
-                    t = _mshoup(fwd[r][pi], w, w_sh, p)
+                    idx = (r * kp1 + c2) * len(PRIMES) + pi
+                    t = _mshoup(fwd[r][pi], bsk_exp[idx], bsk_sh_exp[idx], p)
                     s = t if s is None else s + t
                 m = 4
                 while m >= 1:
@@ -324,12 +357,15 @@ def _make_kernel(params: TfheParams, g_tile: int):
             stacked = jnp.concatenate(
                 [conv_ntt[c][pi] for c in range(kp1)], axis=1
             )  # [N2, kp1*L]
+            if "noinv" in ABLATE:
+                outs.append(stacked)
+                continue
             v = _lane128_matmul(
                 stacked, w2ti_ref[pi, 0], w2ti_ref[pi, 1], p, INV_P[pi],
                 C16[pi], C16_SH[pi],
             )
-            twl = pltpu.repeat(twi_ref[pi], g_tile * kp1, axis=1)
-            twl_sh = pltpu.repeat(twi_sh_ref[pi], g_tile * kp1, axis=1)
+            twl = _expand8(twi_ref[pi], e8f[:, : kp1 * L])
+            twl_sh = _expand8(twi_sh_ref[pi], e8f[:, : kp1 * L])
             v = _mshoup(v, twl, twl_sh, p)
             v = _sublane8_inv(
                 v,
@@ -337,11 +373,15 @@ def _make_kernel(params: TfheParams, g_tile: int):
                 [istw_sh_ref[pi, s] for s in range(LOG_N1)],
                 p,
                 g_tile,
+                e8f,
             )
             outs.append(v)
         for c in range(kp1):
             res = [outs[pi][:, c * L : (c + 1) * L] for pi in range(len(PRIMES))]
-            acc_scr[c] = acc[c] + _garner(res, garner_c, PRIMES)
+            if "nogarner" in ABLATE:
+                acc_scr[c] = acc[c] + res[0]
+            else:
+                acc_scr[c] = acc[c] + _garner(res, garner_c, PRIMES)
 
         @pl.when(j == n - 1)
         def _():
@@ -432,6 +472,12 @@ def blind_rotate_mxu(
     w2ti = jnp.transpose(
         jnp.asarray(t["w2i_limbs"], dtype=jnp.float32), (0, 1, 3, 2)
     )
+    # lane-expansion matrix: e8[jA, g*8 + jA] = 1, tiled to the widest use
+    wide = max(rows * L, kp1 * L)
+    e8 = np.zeros((N1, wide), np.float32)
+    lanes = np.arange(wide)
+    e8[lanes % N1, lanes] = 1.0
+    e8 = jnp.asarray(e8)
 
     kernel = _make_kernel(params, g_tile)
 
@@ -460,6 +506,7 @@ def blind_rotate_mxu(
             cmap((NP, N2, N1)),
             cmap((NP, 2, N2, N2)),
             cmap((NP, 2, N2, N2)),
+            cmap((N1, max(rows * L, kp1 * L))),
             pl.BlockSpec(
                 (1, rows, kp1, NP, N2, N1), lambda i, j: (j, 0, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -491,6 +538,7 @@ def blind_rotate_mxu(
         twi_sh_t,
         w2t,
         w2ti,
+        e8,
         bsk_mxu,
         bsk_mxu_sh,
     )

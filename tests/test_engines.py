@@ -173,3 +173,37 @@ endmodule
         out = e.decrypt_outputs(e.evaluate(e.encrypt_inputs(inputs)))
         idx = sum(bits[i] << (4 - i) for i in range(5))  # first wire = MSB
         assert out["y"] == table[idx], (trial, bits)
+
+
+@pytest.mark.slow
+def test_encrypted_c880_like_all_wires():
+    """c880-scale combinational netlist, encrypted vs oracle on every wire."""
+    nl = read_verilog_file("benchmarks/netlists/c880-like.v")
+    e = BooleanEngine(mode="gates", params=P.TEST_PARAMS, seed=880)
+    e.compile(nl)
+    rng = np.random.default_rng(1)
+    inputs = {f"i[{j}]": bool(rng.integers(0, 2)) for j in range(60)}
+    exp = _oracle(nl, inputs)
+    got = e.decrypt_all_wires(e.evaluate(e.encrypt_inputs(inputs)))
+    for w, v in exp.items():
+        assert got[w] == v, w
+
+
+def test_cli_output_file(tmp_path):
+    from helm_tpu import cli
+
+    out = tmp_path / "out.csv"
+    rc = cli.main(
+        [
+            "-v", "benchmarks/netlists/2-bit-adder.v",
+            "-i", "benchmarks/test-cases/2-bit-adder.inputs.csv",
+            "-o", str(out),
+            "--test-params", "--seed", "3",
+        ]
+    )
+    assert rc == 0
+    text = out.read_text()
+    rows = dict(
+        line.split(", ") for line in text.strip().splitlines()
+    )
+    assert rows == {"sum[0]": "true", "sum[1]": "true", "cout": "false"}

@@ -1,0 +1,36 @@
+"""Headline benchmark: c880-scale gates-mode wall-clock on the real chip."""
+import sys, pathlib, time, os
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+import numpy as np
+from helm_tpu import params as P
+from helm_tpu.circuit.verilog import read_verilog_file
+from helm_tpu.circuit.graph import Circuit
+from helm_tpu.engines.boolean import BooleanEngine
+
+pset = getattr(P, os.environ.get("PSET", "GATES_TPU"))
+path = os.environ.get("NETLIST", "benchmarks/netlists/c880-like.v")
+nl = read_verilog_file(path)
+t0 = time.time()
+e = BooleanEngine(mode="gates", params=pset, seed=88)
+print(f"KeyGen {time.time()-t0:.1f}s", flush=True)
+e.compile(nl)
+rng = np.random.default_rng(7)
+inputs = {w: bool(rng.integers(0, 2)) for w in nl.inputs}
+wires = e.encrypt_inputs(inputs)
+t0 = time.time()
+wires = e.evaluate(wires)
+wires.block_until_ready()
+print(f"first evaluation (incl. compile): {time.time()-t0:.1f}s", flush=True)
+# steady-state timing
+wires2 = e.encrypt_inputs(inputs)
+t0 = time.time()
+wires2 = e.evaluate(wires2)
+wires2.block_until_ready()
+dt = time.time() - t0
+print(f"{path} steady-state encrypted eval: {dt:.3f}s ({pset.name})", flush=True)
+# correctness
+c = Circuit.from_netlist(read_verilog_file(path))
+exp = c.evaluate(c.initialize_wire_map(nl.wire_set, inputs))
+out = e.decrypt_outputs(wires2)
+ok = all(out[w] == exp[w] for w in out)
+print("outputs correct:", ok, flush=True)
