@@ -24,6 +24,11 @@ def main():
     import numpy as np
 
     import jax
+
+    # persistent compilation cache: repeat runs skip the ~2-minute compile
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
 
     from helm_tpu import params as P
@@ -35,8 +40,14 @@ def main():
     backend = os.environ.get("BENCH_BACKEND", "jnp")  # jnp | pallas | mxu
     p = getattr(P, os.environ.get("BENCH_PARAMS", "GATES_TPU"))
 
+    t = time.perf_counter()
     ck = lwe.keygen(p, seed=2024)
-    dsk = pbs_jnp.DeviceServerKey.from_host(gen_server_key(ck))
+    sk = gen_server_key(ck)
+    print(f"[bench] keygen {time.perf_counter()-t:.1f}s", file=sys.stderr)
+    t = time.perf_counter()
+    dsk = pbs_jnp.DeviceServerKey.from_host(sk)
+    jax.block_until_ready(dsk.bsk_ntt)
+    print(f"[bench] key transfer {time.perf_counter()-t:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(0)
     bits1 = rng.integers(0, 2, G).astype(bool)
@@ -58,8 +69,10 @@ def main():
             return bootstrap_mxu(dsk, x, tv)
     else:
         bs = jax.jit(pbs_jnp.bootstrap)
+    t = time.perf_counter()
     out = bs(dsk, x, testv)
-    out.block_until_ready()  # compile + warmup
+    np.asarray(out)  # compile + warmup
+    print(f"[bench] compile+warmup {time.perf_counter()-t:.1f}s", file=sys.stderr)
 
     # correctness spot check before timing
     got = lwe.decode_bool(lwe.decrypt_phase(ck, np.asarray(out)))
@@ -69,7 +82,8 @@ def main():
     t0 = time.perf_counter()
     for _ in range(iters):
         out = bs(dsk, x, testv)
-    out.block_until_ready()
+    np.asarray(out)  # force materialization (block_until_ready can be a no-op
+    # on the tunneled platform)
     dt = time.perf_counter() - t0
 
     value = G * iters / dt

@@ -183,6 +183,11 @@ def _run_arith(args, netlist) -> int:
     params = P.TEST_PARAMS_ARITH if args.test_params else None
     engine = ArithEngine(args.arithmetic, params=params, seed=args.seed)
     print(f"KeyGen done in {time.time() - start} seconds.")
+    if args.mesh:
+        from .parallel.mesh import batch_sharding, make_gate_mesh, replicated
+
+        mesh = make_gate_mesh(args.mesh)
+        engine.set_sharding(batch_sharding(mesh), replicated(mesh))
     engine.compile(netlist)
 
     start = time.time()

@@ -207,3 +207,31 @@ def test_cli_output_file(tmp_path):
         line.split(", ") for line in text.strip().splitlines()
     )
     assert rows == {"sum[0]": "true", "sum[1]": "true", "cout": "false"}
+
+
+def test_ready_protocol_lut(lut_engine):
+    """READY latching in LUT mode (reference circuit.rs:1012-1030)."""
+    src = """
+module seq(a, out);
+  input a;
+  output out;
+  dff d0(n1, s1);
+  dff d1(s1, READY);
+  lut g0(1, a, n1);
+  lut g1(2, s1, out);
+endmodule
+"""
+    from helm_tpu.circuit.verilog import parse_verilog
+
+    nl = parse_verilog(src)
+    e = lut_engine
+    e.compile(nl)
+    assert e.has_ready()
+    wires = e.encrypt_inputs({"a": False})
+    valid = e.init_ready()
+    for _ in range(3):
+        wires = e.evaluate(wires)
+        valid = e.evaluate_ready(wires, valid)
+    out = e.decrypt_outputs(valid, from_valid=True)
+    # lut const 1 = NOT; lut const 2 = identity: out latches NOT(a)=1
+    assert out["out"] == 1

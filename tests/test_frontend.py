@@ -165,3 +165,33 @@ def test_c880_like_levels():
     assert total == 383 + 26  # gates + output bufs
     out = c.evaluate(c.initialize_wire_map(nl.wire_set, {}))
     assert all(isinstance(v, bool) for k, v in out.items() if k.startswith("o["))
+
+
+def test_integer_csv_all_precisions(tmp_path):
+    # reference tests/verilog_parser_test.rs:78-118
+    f = tmp_path / "in.csv"
+    f.write_text("wire, value\nx, 200\ny, 70000\n")
+    for t, ok in [("u8", False), ("u16", True), ("u32", True), ("u64", True), ("u128", True)]:
+        m = csv_io.read_input_wires(str(f), t)
+        assert m["x"] == 200
+        assert m["y"] == 70000
+
+
+def test_chi_squared_recorded_vectors():
+    # reference tests/circuit_test.rs:315-474 pattern: recorded in/out CSVs
+    from helm_tpu.circuit.graph import Circuit
+
+    nl = read_verilog_file("benchmarks/netlists/chi_squared_arith.v", True)
+    c = Circuit.from_netlist(nl)
+    for i in (1, 2):
+        ins = csv_io.read_input_wires(
+            f"benchmarks/test-cases/chi_squared_arith_{i}.inputs.csv", "u32"
+        )
+        exp = csv_io.read_input_wires(
+            f"benchmarks/test-cases/chi_squared_arith_{i}.outputs.csv", "u32"
+        )
+        out = c.evaluate_arith(
+            c.initialize_wire_map(nl.wire_set, ins, default=0), 32
+        )
+        for w, v in exp.items():
+            assert out[w] == v, (i, w)

@@ -48,3 +48,27 @@ def test_sharded_matches_unsharded():
     e2.compile(nl)
     out2 = e2.decrypt_outputs(e2.evaluate(e2.encrypt_inputs(inputs)))
     assert out1 == out2
+
+
+def test_sharded_arith_matches_oracle():
+    from helm_tpu.circuit.graph import Circuit
+    from helm_tpu.circuit.verilog import read_verilog_file
+    from helm_tpu.engines.arith import ArithEngine
+    from helm_tpu.parallel.mesh import batch_sharding, make_gate_mesh, replicated
+
+    nl = read_verilog_file("benchmarks/netlists/chi_squared_arith.v", True)
+    e = ArithEngine("u8", params=P.TEST_PARAMS_ARITH, seed=44)
+    mesh = make_gate_mesh(4)
+    e.set_sharding(batch_sharding(mesh), replicated(mesh))
+    try:
+        e.compile(nl)
+        inputs = {"n0": 3, "n1": 5, "n2": 7}
+        out = e.decrypt_outputs(e.evaluate(e.encrypt_inputs(inputs)))
+        c = Circuit.from_netlist(read_verilog_file("benchmarks/netlists/chi_squared_arith.v", True))
+        exp = c.evaluate_arith(c.initialize_wire_map(nl.wire_set, inputs, default=0), 8)
+        for w in ("alpha", "beta1", "beta2", "beta3"):
+            assert out[w] == exp[w], w
+    finally:
+        from helm_tpu.engines import radix
+
+        radix.BATCH_SHARD[0] = None

@@ -19,13 +19,13 @@ inputs = {w: bool(rng.integers(0, 2)) for w in nl.inputs}
 wires = e.encrypt_inputs(inputs)
 t0 = time.time()
 wires = e.evaluate(wires)
-wires.block_until_ready()
+_ = np.asarray(wires)  # block_until_ready is not reliable on this platform
 print(f"first evaluation (incl. compile): {time.time()-t0:.1f}s", flush=True)
-# steady-state timing
+# steady-state timing (force full materialization)
 wires2 = e.encrypt_inputs(inputs)
 t0 = time.time()
 wires2 = e.evaluate(wires2)
-wires2.block_until_ready()
+_ = np.asarray(wires2)
 dt = time.time() - t0
 print(f"{path} steady-state encrypted eval: {dt:.3f}s ({pset.name})", flush=True)
 # correctness

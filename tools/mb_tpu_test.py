@@ -25,6 +25,6 @@ print("correct:", (got == (b1 & b2)).all(), flush=True)
 t0 = time.time(); iters = 4
 for _ in range(iters):
     out = bs(dsk, x, testv)
-out.block_until_ready()
+_ = np.asarray(out)  # force full materialization (block_until_ready unreliable)
 dt = time.time()-t0
 print(f"{p.name} G={G}: {G*iters/dt:.1f} bootstraps/s/chip", flush=True)

@@ -26,6 +26,6 @@ print("correct:", (got == (b1 & b2)).all(), flush=True)
 t0 = time.time(); iters = 6
 for _ in range(iters):
     out = mxu_pbs.bootstrap_mxu(dsk, x, testv, g_tile=gt)
-out.block_until_ready()
+_ = np.asarray(out)  # force full materialization
 dt = time.time()-t0
 print(f"mxu {p.name} G={G} gt={gt}: {G*iters/dt:.1f} bootstraps/s/chip", flush=True)
