@@ -35,9 +35,9 @@ def main():
     from helm_tpu.fhe import lwe, pbs_jnp
     from helm_tpu.fhe.server_key import gen_server_key
 
-    G = int(os.environ.get("BENCH_BATCH", "256"))
+    G = int(os.environ.get("BENCH_BATCH", "512"))
     iters = int(os.environ.get("BENCH_ITERS", "4"))
-    backend = os.environ.get("BENCH_BACKEND", "jnp")  # jnp | pallas | mxu
+    backend = os.environ.get("BENCH_BACKEND", "mxu")  # jnp | pallas | mxu
     p = getattr(P, os.environ.get("BENCH_PARAMS", "GATES_TPU"))
 
     t = time.perf_counter()

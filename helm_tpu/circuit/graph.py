@@ -17,9 +17,8 @@ The plaintext oracle (`Circuit.evaluate`) replicates Circuit::evaluate
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 
-from .gates import ARITH_TYPES, Gate, GateType, evaluate_arith_ptxt, evaluate_ptxt
+from .gates import Gate, GateType, evaluate_arith_ptxt, evaluate_ptxt
 from .verilog import Netlist
 
 

@@ -25,7 +25,7 @@ import numpy as np
 
 from ..params import Q, TfheParams
 from .gates import Gate, GateType
-from .graph import Circuit, _is_numeric
+from .graph import Circuit
 
 Q8 = 1 << 29  # q/8
 

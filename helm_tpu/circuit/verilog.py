@@ -16,7 +16,7 @@ parse_range :122-136). Behavior replicated:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from .gates import ARITH_TYPES, Gate, GateType
 

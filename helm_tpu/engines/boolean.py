@@ -11,7 +11,6 @@ obliviously (circuit.rs:482-504, 1002-1030).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from functools import partial
 
 import jax
@@ -19,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..circuit.graph import Circuit
-from ..circuit.plan import (CircuitPlan, LevelPlan, Q8, binarize, build_plan, decompose_wide_luts)
+from ..circuit.plan import (CircuitPlan, Q8, binarize, build_plan, decompose_wide_luts)
 from ..circuit.verilog import Netlist
 from ..fhe import lwe, pbs_jnp
 from ..fhe.server_key import gen_server_key
@@ -132,6 +131,7 @@ class BooleanEngine:
 
     def set_sharding(self, batch_shard, repl_shard) -> None:
         """Enable gate sharding (call before compile; parallel/mesh.py)."""
+        assert self.plan is None, "set_sharding must be called before compile()"
         self._batch_shard = batch_shard
         self._repl_shard = repl_shard
         self._min_slots = batch_shard.mesh.size

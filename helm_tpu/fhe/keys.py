@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..params import ALL_PARAMS, TfheParams
+from ..params import ALL_PARAMS
 from .lwe import ClientKey
 from .server_key import ServerKey
 

@@ -14,7 +14,7 @@ Counterpart of the reference's per-mode keygen (src/bin/helm.rs:88,160-192,
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -30,7 +30,7 @@ import functools
 
 import numpy as np
 
-from ..fhe.modring import get_tables, primes_for, root_of_unity, shoup
+from ..fhe.modring import primes_for, root_of_unity, shoup
 
 N1, LOG_N1 = 8, 3  # sublane transform size
 

@@ -16,7 +16,7 @@ lattice estimator. See SECURITY.md.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 Q = 1 << 32  # ciphertext modulus (uint32 wrapping arithmetic)
 Q_MASK = Q - 1
