@@ -7,7 +7,7 @@ value = sum_i block_i * 4^i, u8..u128 = 4..64 blocks.
 
 Everything reduces to batched PBS launches shaped for the TPU:
 
-- add/sub: linear block ops + a sequential carry-propagation pass whose每
+- add/sub: linear block ops + a sequential carry-propagation pass whose every
   round is ONE batched (msg, carry) launch across the whole gate batch.
 - mul: schoolbook partial products, ALL (lo, hi) pairs in one bivariate-PBS
   launch, then a carry-save compression tree (one launch per tree round).

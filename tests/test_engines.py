@@ -235,3 +235,35 @@ endmodule
     out = e.decrypt_outputs(valid, from_valid=True)
     # lut const 1 = NOT; lut const 2 = identity: out latches NOT(a)=1
     assert out["out"] == 1
+
+
+def test_cli_lut_and_arith_modes(tmp_path):
+    """CLI end-to-end for LUTs and arithmetic modes (test params)."""
+    from helm_tpu import cli
+
+    out = tmp_path / "lut.csv"
+    rc = cli.main(
+        [
+            "-v", "benchmarks/netlists/8-bit-adder-lut-3-1.v",
+            "-i", "benchmarks/test-cases/8-bit-adder.inputs.csv",
+            "-o", str(out), "--test-params", "--seed", "4",
+        ]
+    )
+    assert rc == 0
+    rows = dict(line.split(", ") for line in out.read_text().strip().splitlines())
+    total = sum(int(rows[f"sum[{i}]"]) << i for i in range(8))
+    total += int(rows["cout"]) << 8
+    assert total == 0x5A + 0x33 + 1
+
+    out2 = tmp_path / "chi.csv"
+    rc = cli.main(
+        [
+            "-v", "benchmarks/netlists/chi_squared_arith.v",
+            "-a", "u8",
+            "-i", "benchmarks/test-cases/chi_squared_arith_2.inputs.csv",
+            "-o", str(out2), "--test-params", "--seed", "5",
+        ]
+    )
+    assert rc == 0
+    rows = dict(line.split(", ") for line in out2.read_text().strip().splitlines())
+    assert rows == {"alpha": "17", "beta1": "242", "beta2": "19", "beta3": "226"}

@@ -1,0 +1,30 @@
+"""BASELINE config: chi_squared arithmetic mode u32 on the real chip."""
+import sys, pathlib, time, os
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+import numpy as np
+from helm_tpu import params as P
+from helm_tpu.circuit.verilog import read_verilog_file
+from helm_tpu.circuit.graph import Circuit
+from helm_tpu.engines.arith import ArithEngine
+
+nl = read_verilog_file("benchmarks/netlists/chi_squared_arith.v", True)
+t0 = time.time()
+e = ArithEngine("u32", seed=11)  # production ARITH_PARAMS
+print(f"KeyGen {time.time()-t0:.1f}s", flush=True)
+e.compile(nl)
+inputs = {"n0": 10, "n1": 20, "n2": 30}
+wires = e.encrypt_inputs(inputs)
+t0 = time.time()
+wires = e.evaluate(wires)
+_ = np.asarray(wires)
+print(f"first evaluation (incl. compiles): {time.time()-t0:.1f}s", flush=True)
+w2 = e.encrypt_inputs(inputs)
+t0 = time.time()
+w2 = e.evaluate(w2)
+_ = np.asarray(w2)
+print(f"steady-state chi_squared u32 eval: {time.time()-t0:.2f}s", flush=True)
+out = e.decrypt_outputs(w2)
+c = Circuit.from_netlist(read_verilog_file("benchmarks/netlists/chi_squared_arith.v", True))
+exp = c.evaluate_arith(c.initialize_wire_map(nl.wire_set, inputs, default=0), 32)
+print("outputs:", out, flush=True)
+print("correct:", all(out[w] == exp[w] for w in out), flush=True)
