@@ -53,9 +53,10 @@ def encrypt(
     mu = np.asarray(mu, dtype=np.uint32)
     a = ck.rng.integers(0, Q, size=mu.shape + (n,), dtype=np.uint32)
     dot = (a.astype(np.uint64) * key.astype(np.uint64)).sum(axis=-1)
-    b = (dot.astype(np.uint32) + mu + _noise(ck.rng, std, mu.shape)).astype(
-        np.uint32
-    )
+    with np.errstate(over="ignore"):  # wrapping mod q is the point
+        b = (dot.astype(np.uint32) + mu + _noise(ck.rng, std, mu.shape)).astype(
+            np.uint32
+        )
     return np.concatenate([a, b[..., None]], axis=-1)
 
 
