@@ -155,6 +155,25 @@ def random_levelized(name: str, n_inputs: int, n_gates: int, n_outputs: int, see
     return "\n".join(L) + "\n"
 
 
+def crc32_circuit() -> str:
+    """CRC-32 (IEEE 802.3 polynomial) bit-serial core: 32 DFFs, one input
+    bit per cycle (the `CRC-32` family of RUNNING.md:3-259)."""
+    POLY = 0x04C11DB7  # x^32 + x^26 + ... + 1, MSB-first form
+    L = ["module crc32(din, crc);", "  input din;", "  output [31:0] crc;"]
+    # feedback = state[31] ^ din
+    L.append("  xor gfb(s31, din, fb);")
+    for i in range(32):
+        src = "fb" if i == 0 else (
+            f"t{i}" if (POLY >> i) & 1 else f"s{i-1}"
+        )
+        if i > 0 and (POLY >> i) & 1:
+            L.append(f"  xor gt{i}(s{i-1}, fb, t{i});")
+        L.append(f"  dff d{i}({src}, s{i});")
+        L.append(f"  buf go{i}(s{i}, crc[{i}]);")
+    L.append("endmodule")
+    return "\n".join(L) + "\n"
+
+
 CHI_SQUARED = """\
 // chi-squared test (iDASH) — behavioral arithmetic, HELM processed form
 // alpha=(4 n0 n2 - n1^2)^2; beta1=2(2 n0+n1)^2; beta2=(2 n0+n1)(2 n2+n1);
@@ -196,6 +215,7 @@ def main(outdir: str = "benchmarks/netlists"):
     (out / "c880-like.v").write_text(random_levelized("c880like", 60, 383, 26, seed=880))
     (out / "c7552-like.v").write_text(random_levelized("c7552like", 207, 3512, 108, seed=7552))
     (out / "chi_squared_arith.v").write_text(CHI_SQUARED)
+    (out / "crc32.v").write_text(crc32_circuit())
     print(f"wrote netlists to {out}")
 
 

@@ -267,3 +267,32 @@ def test_cli_lut_and_arith_modes(tmp_path):
     assert rc == 0
     rows = dict(line.split(", ") for line in out2.read_text().strip().splitlines())
     assert rows == {"alpha": "17", "beta1": "242", "beta2": "19", "beta3": "226"}
+
+
+def test_encrypted_crc32_cycles(gates_engine):
+    """Encrypted bit-serial CRC-32 over 4 cycles vs software model."""
+    nl = read_verilog_file("benchmarks/netlists/crc32.v")
+    e = gates_engine
+    e.compile(nl)
+
+    def crc_step(state, bit):
+        fb = ((state >> 31) & 1) ^ bit
+        return ((state << 1) & 0xFFFFFFFF) ^ (0x04C11DB7 * fb)
+
+    data = [1, 0, 1, 1]
+    state_sw = 0
+    wires = e.encrypt_inputs({"din": bool(data[0])})
+    for cyc, bit in enumerate(data):
+        if cyc > 0:
+            # re-encrypt the next input bit in place
+            import jax.numpy as jnp
+            from helm_tpu.fhe import lwe
+
+            idx = e.plan.wire_index["din"]
+            row = lwe.encrypt(e.client_key, e._encode(bool(bit)))
+            wires = wires.at[idx].set(jnp.asarray(row))
+        wires = e.evaluate(wires)
+        state_sw = crc_step(state_sw, bit)
+    got = e.decrypt_all_wires(wires)
+    val = sum(int(got[f"s{i}"]) << i for i in range(32))
+    assert val == state_sw

@@ -195,3 +195,25 @@ def test_chi_squared_recorded_vectors():
         )
         for w, v in exp.items():
             assert out[w] == v, (i, w)
+
+
+def test_crc32_sequential_oracle():
+    """Bit-serial CRC-32 core vs a software CRC model, multi-cycle."""
+    nl = read_verilog_file("benchmarks/netlists/crc32.v")
+    assert len(nl.dff_outputs) == 32
+    c = Circuit.from_netlist(nl)
+
+    def crc_step(state, bit):
+        fb = ((state >> 31) & 1) ^ bit
+        state = ((state << 1) & 0xFFFFFFFF) ^ (0x04C11DB7 * fb)
+        return state
+
+    data = [1, 0, 1, 1, 0, 0, 1, 0, 1, 1]
+    state_sw = 0
+    wm = c.initialize_wire_map(nl.wire_set, {"din": False})
+    for bit in data:
+        wm["din"] = bool(bit)
+        wm = c.evaluate(wm)
+        state_sw = crc_step(state_sw, bit)
+        got = sum(int(wm[f"s{i}"]) << i for i in range(32))
+        assert got == state_sw
