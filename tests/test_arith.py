@@ -113,3 +113,40 @@ def test_chi_squared_u8():
     out = e.decrypt_outputs(e.evaluate(e.encrypt_inputs(inputs)))
     for w in ("alpha", "beta1", "beta2", "beta3"):
         assert out[w] == exp[w], w
+
+
+def test_box_blur_u8():
+    """Box blur (RUNNING.md blur family): adds + plaintext-divisor division."""
+    nl = read_verilog_file("benchmarks/netlists/box_blur_arith.v", True)
+    e = ArithEngine("u8", params=P.TEST_PARAMS_ARITH, seed=9)
+    e.compile(nl)
+    pix = {"p0": 10, "p1": 40, "p2": 70, "p3": 100, "p4": 130, "p5": 160}
+    out = e.decrypt_outputs(e.evaluate(e.encrypt_inputs(pix)))
+    c = Circuit.from_netlist(read_verilog_file("benchmarks/netlists/box_blur_arith.v", True))
+    exp = c.evaluate_arith(c.initialize_wire_map(nl.wire_set, pix, default=0), 8)
+    for w in ("b1", "b2", "b3", "b4"):
+        assert out[w] == exp[w], w
+
+
+def test_euclidean_and_mmult_u8():
+    """Euclidean distance and matrix-multiply families (RUNNING.md)."""
+    for path, inputs, outs in [
+        (
+            "benchmarks/netlists/euclidean_arith.v",
+            {"a0": 9, "a1": 4, "a2": 7, "a3": 1, "b0": 3, "b1": 8, "b2": 2, "b3": 5},
+            ["dist"],
+        ),
+        (
+            "benchmarks/netlists/mmult2_arith.v",
+            {"a00": 2, "a01": 3, "a10": 5, "a11": 7, "b00": 1, "b01": 4, "b10": 6, "b11": 2},
+            ["c00", "c01", "c10", "c11"],
+        ),
+    ]:
+        nl = read_verilog_file(path, True)
+        e = ArithEngine("u8", params=P.TEST_PARAMS_ARITH, seed=12)
+        e.compile(nl)
+        out = e.decrypt_outputs(e.evaluate(e.encrypt_inputs(inputs)))
+        c = Circuit.from_netlist(read_verilog_file(path, True))
+        exp = c.evaluate_arith(c.initialize_wire_map(nl.wire_set, inputs, default=0), 8)
+        for w in outs:
+            assert out[w] == exp[w], (path, w)

@@ -296,3 +296,38 @@ def test_encrypted_crc32_cycles(gates_engine):
     got = e.decrypt_all_wires(wires)
     val = sum(int(got[f"s{i}"]) << i for i in range(32))
     assert val == state_sw
+
+
+def test_aes_sbox_as_wide_lut(lut_engine):
+    """AES S-box bit as an 8-input LUT — exercises deep Shannon trees
+    (the AES family of RUNNING.md)."""
+    # AES S-box, first 16 entries are enough to spot-check plus random ones
+    SBOX = [
+        0x63, 0x7C, 0x77, 0x7B, 0xF2, 0x6B, 0x6F, 0xC5,
+        0x30, 0x01, 0x67, 0x2B, 0xFE, 0xD7, 0xAB, 0x76,
+    ] + [((17 * i + 31) ^ (i >> 3)) & 0xFF for i in range(16, 256)]
+    bit = 0
+    table = [(SBOX[i] >> bit) & 1 for i in range(256)]
+    const = sum(b << i for i, b in enumerate(table))
+    ins = ", ".join(f"x{i}" for i in range(8))
+    src = f"""
+module sbox({ins}, y);
+  input {ins};
+  output y;
+  lut g0({const}, {ins}, y);
+endmodule
+"""
+    from helm_tpu.circuit.verilog import parse_verilog
+
+    nl = parse_verilog(src)
+    e = lut_engine
+    e.compile(nl)
+    import random
+
+    rnd = random.Random(3)
+    for _ in range(4):
+        v = rnd.randrange(256)
+        # first wire is the MSB of the LUT index
+        inputs = {f"x{i}": bool((v >> (7 - i)) & 1) for i in range(8)}
+        out = e.decrypt_outputs(e.evaluate(e.encrypt_inputs(inputs)))
+        assert out["y"] == table[v], v
