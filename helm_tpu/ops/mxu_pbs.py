@@ -224,6 +224,24 @@ def _lane128_matmul(u, w2t0, w2t1, p: int, inv_p: float, c16: int, c16_sh: int):
     return _madd(r, _mshoup(hi_u, jnp.uint32(c16), jnp.uint32(c16_sh), p), p)
 
 
+def _crt_fast(res, w_mod, fracs, prod_mod):
+    """CRT residues -> value mod 2^32 via float-corrected reconstruction.
+
+    x = sum r_i * W_i - k * P with W_i = (P/p_i) * [(P/p_i)^-1 mod p_i] and
+    k = round(sum r_i * (W_i / P)). Exact: |x| <= 2^53 << P/2, so the
+    fractional sum sits at least ~2^-6 away from half-integers while the
+    f32 error is < 2^-6. Half the ops of Garner mixed-radix.
+    """
+    # Mosaic lacks u32<->f32 casts; residues are < 2^17 so int32 is safe
+    acc = res[0] * jnp.uint32(w_mod[0])
+    facc = res[0].astype(jnp.int32).astype(jnp.float32) * fracs[0]
+    for i in range(1, 4):
+        acc = acc + res[i] * jnp.uint32(w_mod[i])
+        facc = facc + res[i].astype(jnp.int32).astype(jnp.float32) * fracs[i]
+    k = jnp.floor(facc + 0.5).astype(jnp.int32).astype(jnp.uint32)
+    return acc - k * jnp.uint32(prod_mod)
+
+
 def _garner(res, g, primes):
     p0, p1, p2, p3 = primes
     r0, r1, r2, r3 = res
@@ -255,6 +273,17 @@ def _make_kernel(params: TfheParams, g_tile: int):
     C16 = tuple((1 << 16) % p for p in PRIMES)
     C16_SH = tuple((((1 << 16) % p) << 16) // p for p in PRIMES)
     garner_c = tab.garner
+    PROD = 1
+    for _p in PRIMES:
+        PROD *= _p
+    CRT_W_MOD = []
+    CRT_FRAC = []
+    for _p in PRIMES:
+        m = PROD // _p
+        w = m * pow(m, -1, _p)
+        CRT_W_MOD.append(w % (1 << 32))
+        CRT_FRAC.append(float(w / PROD))
+    PROD_MOD = PROD % (1 << 32)
     L = N1 * g_tile  # lanes per poly batch
 
     def kernel(
@@ -380,8 +409,12 @@ def _make_kernel(params: TfheParams, g_tile: int):
             res = [outs[pi][:, c * L : (c + 1) * L] for pi in range(len(PRIMES))]
             if "nogarner" in ABLATE:
                 acc_scr[c] = acc[c] + res[0]
-            else:
+            elif "oldgarner" in ABLATE:
                 acc_scr[c] = acc[c] + _garner(res, garner_c, PRIMES)
+            else:
+                acc_scr[c] = acc[c] + _crt_fast(
+                    res, CRT_W_MOD, CRT_FRAC, PROD_MOD
+                )
 
         @pl.when(j == n - 1)
         def _():
