@@ -35,7 +35,7 @@ def main():
     from helm_tpu.fhe import lwe, pbs_jnp
     from helm_tpu.fhe.server_key import gen_server_key
 
-    G = int(os.environ.get("BENCH_BATCH", "512"))
+    G = int(os.environ.get("BENCH_BATCH", "1024"))
     iters = int(os.environ.get("BENCH_ITERS", "4"))
     backend = os.environ.get("BENCH_BACKEND", "mxu")  # jnp | pallas | mxu
     p = getattr(P, os.environ.get("BENCH_PARAMS", "GATES_TPU"))

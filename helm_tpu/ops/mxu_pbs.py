@@ -454,7 +454,7 @@ def blind_rotate_mxu(
     bsk_mxu_sh,
     lwe_in,
     testv,
-    g_tile: int = 16,
+    g_tile: int = 32,
     interpret: bool = False,
 ):
     from ..fhe import ops as fops
@@ -581,7 +581,7 @@ def blind_rotate_mxu(
     return acc[:G]
 
 
-def bootstrap_mxu(dsk, lwe_in, testv, g_tile: int = 16, interpret: bool = False):
+def bootstrap_mxu(dsk, lwe_in, testv, g_tile: int = 32, interpret: bool = False):
     """Full PBS with the MXU blind rotation; bit-identical to pbs_jnp."""
     from ..fhe import ops as fops
     from ..fhe.pbs_jnp import keyswitch
