@@ -73,6 +73,19 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     ap.add_argument("--seed", type=int, default=None, help="key RNG seed")
     ap.add_argument(
+        "--backend",
+        choices=["jnp", "pallas", "mxu"],
+        default="jnp",
+        help="PBS kernel: jnp (XLA, shardable), pallas (fused roll-NTT), "
+        "mxu (fused 4-step MXU NTT; fastest single-chip)",
+    )
+    ap.add_argument(
+        "--params",
+        metavar="NAME",
+        help="named parameter set (see helm_tpu.params.ALL_PARAMS), e.g. "
+        "gates_tpu_v32 or gates_tpu_mb2 (multi-bit)",
+    )
+    ap.add_argument(
         "--profile",
         metavar="DIR",
         help="capture a jax.profiler trace of the evaluation into DIR",
@@ -123,11 +136,23 @@ def _run_boolean(args, netlist) -> int:
     input_wire_map = get_input_wire_map(args, "bool")
 
     start = time.time()
-    if args.test_params:
+    if args.params:
+        try:
+            params = P.ALL_PARAMS[args.params]
+        except KeyError:
+            raise SystemExit(
+                f"unknown --params {args.params!r}; "
+                f"known: {', '.join(sorted(P.ALL_PARAMS))}"
+            )
+    elif args.test_params:
         params = P.TEST_PARAMS if mode == "gates" else P.TEST_PARAMS_LUT
     else:
         params = None
-    engine = BooleanEngine(mode=mode, params=params, seed=args.seed)
+    if args.mesh and args.backend != "jnp":
+        raise SystemExit("--mesh requires --backend jnp (shardable PBS)")
+    engine = BooleanEngine(
+        mode=mode, params=params, seed=args.seed, backend=args.backend
+    )
     print(f"KeyGen done in {time.time() - start} seconds.")
     if args.mesh:
         from .parallel.mesh import shard_engine
@@ -180,7 +205,24 @@ def _run_arith(args, netlist) -> int:
     input_wire_map = get_input_wire_map(args, args.arithmetic)
 
     start = time.time()
-    params = P.TEST_PARAMS_ARITH if args.test_params else None
+    if args.params:
+        try:
+            params = P.ALL_PARAMS[args.params]
+        except KeyError:
+            raise SystemExit(
+                f"unknown --params {args.params!r}; "
+                f"known: {', '.join(sorted(P.ALL_PARAMS))}"
+            )
+    else:
+        params = P.TEST_PARAMS_ARITH if args.test_params else None
+    if args.backend != "jnp":
+        if args.mesh:
+            raise SystemExit("--mesh requires --backend jnp (shardable PBS)")
+        if args.backend != "mxu":
+            raise SystemExit("arithmetic mode supports --backend jnp or mxu")
+        from .engines import radix
+
+        radix.BACKEND[0] = "mxu"
     engine = ArithEngine(args.arithmetic, params=params, seed=args.seed)
     print(f"KeyGen done in {time.time() - start} seconds.")
     if args.mesh:

@@ -53,10 +53,17 @@ def _pbs_level_step(
         pre = jax.lax.with_sharding_constraint(pre, shard)
         if testv.shape[0] == pre.shape[0]:
             testv = jax.lax.with_sharding_constraint(testv, shard)
+    # pallas kernels are single-chip (not auto-partitionable); interpret on
+    # CPU so the engine tests cover these paths too
+    interp = jax.default_backend() == "cpu"
     if backend == "pallas":
         from ..ops.pallas_pbs import bootstrap_pallas
 
-        outs = bootstrap_pallas(dsk, pre, testv)
+        outs = bootstrap_pallas(dsk, pre, testv, interpret=interp)
+    elif backend == "mxu":
+        from ..ops.mxu_pbs import bootstrap_mxu
+
+        outs = bootstrap_mxu(dsk, pre, testv, interpret=interp)
     else:
         outs = pbs_jnp.bootstrap(dsk, pre, testv)
     wires = wires.at[slot_dst].set(outs)
@@ -110,7 +117,7 @@ class BooleanEngine:
         backend: str = "jnp",
     ):
         assert mode in ("gates", "lut")
-        assert backend in ("jnp", "pallas")
+        assert backend in ("jnp", "pallas", "mxu")
         self.backend = backend
         self.mode = mode
         self.params = params or (GATES_PARAMS if mode == "gates" else LUT_PARAMS)
@@ -132,6 +139,7 @@ class BooleanEngine:
     def set_sharding(self, batch_shard, repl_shard) -> None:
         """Enable gate sharding (call before compile; parallel/mesh.py)."""
         assert self.plan is None, "set_sharding must be called before compile()"
+        assert self.backend == "jnp", "gate sharding requires the jnp backend"
         self._batch_shard = batch_shard
         self._repl_shard = repl_shard
         self._min_slots = batch_shard.mesh.size

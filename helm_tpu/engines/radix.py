@@ -64,6 +64,10 @@ _bootstrap_jit = jax.jit(pbs_jnp.bootstrap)
 #: optional NamedSharding applied to every radix PBS batch (parallel/mesh.py)
 BATCH_SHARD = [None]
 
+#: PBS backend for radix ops: "jnp" (default, shardable) or "mxu"
+#: (single-chip fused Pallas kernel; interpret-mode on CPU)
+BACKEND = ["jnp"]
+
 
 @partial(jax.jit, static_argnums=(0,))
 def _bootstrap_sharded(shard, dsk, pre, tv):
@@ -80,6 +84,12 @@ def _bootstrap_multi(dsk, pres: list, tvs: list):
     )
     if BATCH_SHARD[0] is not None:
         out = _bootstrap_sharded(BATCH_SHARD[0], dsk, pre, tv)
+    elif BACKEND[0] == "mxu":
+        from ..ops.mxu_pbs import bootstrap_mxu
+
+        out = bootstrap_mxu(
+            dsk, pre, tv, interpret=jax.default_backend() == "cpu"
+        )
     else:
         out = _bootstrap_jit(dsk, pre, tv)
     res, off = [], 0

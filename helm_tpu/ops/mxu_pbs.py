@@ -60,6 +60,45 @@ def _mshoup(a, w, w_sh, p: int):
     return jnp.where(r >= p, r - jnp.uint32(p), r)
 
 
+def _redu24(t, p: int, inv_p: float):
+    """u32 t < 2^24 -> t mod p via round-to-nearest f32 quotient.
+
+    f32 is exact up to 2^24 and the quotient error is << 0.5, so q is off
+    by at most 1 in either direction; two selects finish the reduction.
+    """
+    tf = t.astype(jnp.int32).astype(jnp.float32)
+    q = jnp.floor(tf * inv_p + 0.5).astype(jnp.int32)
+    r = t.astype(jnp.int32) - q * p
+    r = jnp.where(r < 0, r + p, r).astype(jnp.uint32)
+    return jnp.where(r >= p, r - jnp.uint32(p), r)
+
+
+def _gmul(a, b, p: int, inv_p: float):
+    """Generic (a*b) mod p for dynamic a, b in [0, p), p <= 2^16 + 1.
+
+    Shoup needs a precomputed companion for one operand; for
+    dynamic x dynamic products (the multi-bit subset polynomials) split b
+    into 8-bit limbs so every partial product stays under 2^24.
+    """
+    bh = b >> jnp.uint32(8)
+    bl = b & jnp.uint32(255)
+    t1 = _redu24(a * bh, p, inv_p)
+    t2 = _redu24(t1 << jnp.uint32(8), p, inv_p)
+    t3 = _redu24(a * bl, p, inv_p)
+    return _madd(t2, t3, p)
+
+
+def _reduce_chain(s, max_terms: int, p: int):
+    """Sum of < max_terms values each < p -> canonical [0, p)."""
+    m = 1
+    while m * 2 < max_terms:
+        m *= 2
+    while m >= 1:
+        s = jnp.where(s >= m * p, s - jnp.uint32(m * p), s)
+        m //= 2
+    return s
+
+
 def _rollS(x, s: int):  # sublanes (jB), axis -2
     return pltpu.roll(x, s % x.shape[-2], axis=x.ndim - 2)
 
@@ -423,6 +462,218 @@ def _make_kernel(params: TfheParams, g_tile: int):
     return kernel
 
 
+def _make_kernel_mb(params: TfheParams, g_tile: int, ablate: frozenset = frozenset()):
+    """Multi-bit (grouping g) blind-rotation kernel: one external product per
+    group of g mask elements (reference multi-bit PBS; see
+    fhe/pbs_jnp.py:blind_rotate_multibit for the jnp reference semantics).
+
+    Differences from the single-bit kernel:
+    - no rotation stage: the effective GGSW already encodes X^{sum a_i s_i},
+      so the accumulator is decomposed directly and REPLACED by the product;
+    - per group, NTT(X^{a_i}) is built by a bit ladder over precomputed
+      monomial tables (host-pre-expanded to lane layout), and the subset
+      polynomials P_v = prod_{i in v}(X^{a_i} - 1) come from elementwise
+      generic modmuls;
+    - the pointwise stage computes T_v = sum_r f_r (.) BSK_v[r, c] (Shoup,
+      since the BSK is precomputed) and combines T_0 + sum_v P_v (.) T_v,
+      needing only (2^g - 1) * (k+1) generic modmuls per prime per step.
+    """
+    N, k, n = params.N, params.k, params.n
+    g = params.grouping
+    nv = 1 << g
+    N2 = N // N1
+    kp1 = k + 1
+    levels = params.pbs_level
+    rows_tot = kp1 * levels
+    L2N = N.bit_length()  # exponents live in [0, 2N)
+    tab = get_tables(N)
+    PRIMES = tuple(int(p) for p in tab.primes)
+    NP = len(PRIMES)
+    INV_P = tuple(1.0 / p for p in PRIMES)
+    C16 = tuple((1 << 16) % p for p in PRIMES)
+    C16_SH = tuple((((1 << 16) % p) << 16) // p for p in PRIMES)
+    PROD = 1
+    for _p in PRIMES:
+        PROD *= _p
+    CRT_W_MOD = []
+    CRT_FRAC = []
+    for _p in PRIMES:
+        m = PROD // _p
+        w = m * pow(m, -1, _p)
+        CRT_W_MOD.append(w % (1 << 32))
+        CRT_FRAC.append(float(w / PROD))
+    PROD_MOD = PROD % (1 << 32)
+    L = N1 * g_tile
+
+    def kernel(
+        acc0_ref,  # [kp1, N2, L]
+        abar_ref,  # [1, n, L] int32 (pre-expanded x8, g-major lanes)
+        stw_ref,
+        stw_sh_ref,
+        istw_ref,
+        istw_sh_ref,
+        tw_ref,
+        tw_sh_ref,
+        twi_ref,
+        twi_sh_ref,
+        w2t_ref,
+        w2ti_ref,
+        e8_ref,
+        mono_ref,  # [NP, L2N, N2, L] u32, lane-expanded monomial tables
+        mono_sh_ref,
+        bsk_ref,  # [1, nv, rows, kp1, NP, N2, 8] (mxu order)
+        bsk_sh_ref,
+        out_ref,
+        acc_scr,
+    ):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_scr[...] = acc0_ref[0]
+
+        e8f = e8_ref[...]
+        acc = [acc_scr[c] for c in range(kp1)]
+
+        # --- monomial NTTs M_i = NTT(X^{a_i}) per group member, per prime
+        ones_u = jnp.ones((N2, L), jnp.uint32)
+        M = [[None] * NP for _ in range(g)]
+        for i in range(g):
+            a_i = abar_ref[0, g * j + i, :]  # [L] lane vector
+            bits = [
+                ((a_i >> b) & 1).astype(jnp.uint32)[None, :]
+                for b in range(L2N)
+            ]
+            for pi, p in enumerate(PRIMES):
+                if "noladder" in ablate:
+                    M[i][pi] = mono_ref[pi, i]
+                    continue
+                m = jnp.where(bits[0] == 1, mono_ref[pi, 0], ones_u)
+                for b in range(1, L2N):
+                    m2 = _mshoup(m, mono_ref[pi, b], mono_sh_ref[pi, b], p)
+                    m = jnp.where(bits[b] == 1, m2, m)
+                M[i][pi] = m
+
+        # --- subset polynomials P_v = prod_{i in v} (M_i - 1), v = 1..nv-1
+        pv = {}
+        for v in range(1, nv):
+            idxs = [i for i in range(g) if (v >> i) & 1]
+            if len(idxs) == 1:
+                pv[v] = [
+                    _msub(M[idxs[0]][pi], jnp.uint32(1), p)
+                    for pi, p in enumerate(PRIMES)
+                ]
+            else:
+                cur = pv[1 << idxs[0]]
+                for i in idxs[1:]:
+                    nxt = pv[1 << i]
+                    cur = [
+                        _gmul(cur[pi], nxt[pi], p, INV_P[pi])
+                        for pi, p in enumerate(PRIMES)
+                    ]
+                pv[v] = cur
+
+        # --- decompose acc directly (the external product REPLACES it)
+        digs = []
+        for c in range(kp1):
+            digs.extend(_decompose(acc[c], params.pbs_base_log, levels))
+
+        # --- forward NTT of the decomposed rows (same stages as single-bit)
+        fwd = [[None] * NP for _ in range(rows_tot)]
+        for pi, p in enumerate(PRIMES):
+            stacked = jnp.concatenate(
+                [jnp.where(d < 0, d + p, d).astype(jnp.uint32) for d in digs],
+                axis=1,
+            )  # [N2, rows*L]
+            s1 = _sublane8_fwd(
+                stacked,
+                [stw_ref[pi, s] for s in range(LOG_N1)],
+                [stw_sh_ref[pi, s] for s in range(LOG_N1)],
+                p,
+                g_tile,
+                e8f,
+            )
+            twl = _expand8(tw_ref[pi], e8f)
+            twl_sh = _expand8(tw_sh_ref[pi], e8f)
+            s1 = _mshoup(s1, twl, twl_sh, p)
+            f = _lane128_matmul(
+                s1, w2t_ref[pi, 0], w2t_ref[pi, 1], p, INV_P[pi],
+                C16[pi], C16_SH[pi],
+            )
+            for r in range(rows_tot):
+                fwd[r][pi] = f[:, r * L : (r + 1) * L]
+
+        # --- pointwise: T_v = sum_r f_r (.) BSK_v[r, c2]; then
+        #     result = T_0 + sum_{v>=1} P_v (.) T_v
+        nslab = nv * rows_tot * kp1 * NP
+        if "noexp" in ablate:
+            bsk_exp = jnp.ones((nslab, N2, L), jnp.uint32)
+            bsk_sh_exp = jnp.ones((nslab, N2, L), jnp.uint32)
+        else:
+            bsk_exp = _expand8(
+                bsk_ref[0].reshape(nslab * N2, N1), e8f[:, :L]
+            ).reshape(nslab, N2, L)
+            bsk_sh_exp = _expand8(
+                bsk_sh_ref[0].reshape(nslab * N2, N1), e8f[:, :L]
+            ).reshape(nslab, N2, L)
+        conv_ntt = [[None] * NP for _ in range(kp1)]
+        for c2 in range(kp1):
+            for pi, p in enumerate(PRIMES):
+                if "noptw" in ablate:
+                    conv_ntt[c2][pi] = fwd[0][pi]
+                    continue
+                s = None
+                for v in range(nv):
+                    t_acc = None
+                    for r in range(rows_tot):
+                        idx = ((v * rows_tot + r) * kp1 + c2) * NP + pi
+                        t = _mshoup(
+                            fwd[r][pi], bsk_exp[idx], bsk_sh_exp[idx], p
+                        )
+                        t_acc = t if t_acc is None else t_acc + t
+                    t_acc = _reduce_chain(t_acc, rows_tot + 1, p)
+                    if v == 0:
+                        term = t_acc
+                    elif "nogmul" in ablate:
+                        term = _madd(pv[v][pi], t_acc, p)
+                    else:
+                        term = _gmul(pv[v][pi], t_acc, p, INV_P[pi])
+                    s = term if s is None else _madd(s, term, p)
+                conv_ntt[c2][pi] = s
+
+        # --- inverse NTT + CRT; result REPLACES the accumulator
+        outs = []
+        for pi, p in enumerate(PRIMES):
+            stacked = jnp.concatenate(
+                [conv_ntt[c][pi] for c in range(kp1)], axis=1
+            )
+            v = _lane128_matmul(
+                stacked, w2ti_ref[pi, 0], w2ti_ref[pi, 1], p, INV_P[pi],
+                C16[pi], C16_SH[pi],
+            )
+            twl = _expand8(twi_ref[pi], e8f[:, : kp1 * L])
+            twl_sh = _expand8(twi_sh_ref[pi], e8f[:, : kp1 * L])
+            v = _mshoup(v, twl, twl_sh, p)
+            v = _sublane8_inv(
+                v,
+                [istw_ref[pi, s] for s in range(LOG_N1)],
+                [istw_sh_ref[pi, s] for s in range(LOG_N1)],
+                p,
+                g_tile,
+                e8f,
+            )
+            outs.append(v)
+        for c in range(kp1):
+            res = [outs[pi][:, c * L : (c + 1) * L] for pi in range(NP)]
+            acc_scr[c] = _crt_fast(res, CRT_W_MOD, CRT_FRAC, PROD_MOD)
+
+        @pl.when(j == n // g - 1)
+        def _():
+            out_ref[0] = acc_scr[...]
+
+    return kernel
+
+
 @functools.lru_cache(maxsize=None)
 def _mxu_key_cache():
     return {}
@@ -435,13 +686,15 @@ def mxu_server_key(dsk):
     if key not in cache:
         t = mxu_ntt.mxu_tables(dsk.params.N)
         perm = jnp.asarray(t["perm_from_std"])
-        n, rows, kp1, NP, N = dsk.bsk_ntt.shape
+        N = dsk.bsk_ntt.shape[-1]
         N2 = N // N1
 
         def conv(b):
             # [.., N] --perm--> mxu flat (fA*N2 + fB) -> [.., fA, fB] -> [.., fB, fA]
-            x = b[..., perm].reshape(n, rows, kp1, NP, N1, N2)
-            return jnp.transpose(x, (0, 1, 2, 3, 5, 4))
+            # (leading dims: [n, rows, kp1, NP] single-bit or
+            #  [n/g, 2^g, rows, kp1, NP] multi-bit)
+            x = b[..., perm].reshape(*b.shape[:-1], N1, N2)
+            return jnp.swapaxes(x, -2, -1)
 
         cache[key] = (conv(dsk.bsk_ntt), conv(dsk.bsk_ntt_sh))
     return cache[key]
@@ -465,6 +718,8 @@ def blind_rotate_mxu(
     rows = kp1 * params.pbs_level
     NP = len(primes_for(N))
     G = lwe_in.shape[0]
+    if testv.ndim == 1:
+        testv = testv[None, :]
     if G % g_tile:
         pad = g_tile - G % g_tile
         lwe_in = jnp.concatenate(
@@ -581,13 +836,183 @@ def blind_rotate_mxu(
     return acc[:G]
 
 
+@functools.lru_cache(maxsize=None)
+def _mono_tables_mxu(N: int, g_tile: int):
+    """Monomial ladder tables in kernel layout: u32 [NP, L2N, N2, L],
+    lane-expanded (value depends only on fA = lane % 8) so the kernel does
+    no expansion work. ~[4, 11, 128, 256] u32 = 5.8 MB per table at N=1024."""
+    from ..fhe.pbs_jnp import monomial_tables
+
+    t = mxu_ntt.mxu_tables(N)
+    perm = np.asarray(t["perm_from_std"])
+    mono, mono_sh = monomial_tables(N)  # [L2N, NP, N] standard NTT order
+
+    def mx(m):
+        x = m[:, :, perm].reshape(m.shape[0], m.shape[1], N1, N // N1)
+        x = np.transpose(x, (1, 0, 3, 2))  # [NP, L2N, N2, N1]
+        return np.tile(x, (1, 1, 1, g_tile))  # [NP, L2N, N2, L]
+
+    # numpy on purpose: this function is called under jit tracing, where a
+    # jnp.asarray would produce (and cache) a trace-local constant
+    return mx(mono), mx(mono_sh)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "g_tile", "interpret", "ablate")
+)
+def blind_rotate_mxu_mb(
+    params: TfheParams,
+    bsk_mxu,
+    bsk_mxu_sh,
+    lwe_in,
+    testv,
+    g_tile: int = 32,
+    interpret: bool = False,
+    ablate: str = "",
+):
+    """Multi-bit MXU blind rotation: grid (tiles, n / grouping)."""
+    from ..fhe import ops as fops
+
+    N, k, n = params.N, params.k, params.n
+    g = params.grouping
+    nv = 1 << g
+    groups = n // g
+    N2 = N // N1
+    kp1 = k + 1
+    rows = kp1 * params.pbs_level
+    NP = len(primes_for(N))
+    L2N = N.bit_length()
+    G = lwe_in.shape[0]
+    if testv.ndim == 1:
+        testv = testv[None, :]
+    if G % g_tile:
+        pad = g_tile - G % g_tile
+        lwe_in = jnp.concatenate(
+            [lwe_in, jnp.zeros((pad, n + 1), jnp.uint32)], axis=0
+        )
+        if testv.shape[0] != 1:
+            testv = jnp.concatenate(
+                [testv, jnp.zeros((pad, N), jnp.uint32)], axis=0
+            )
+    Gp = lwe_in.shape[0]
+    tiles = Gp // g_tile
+    L = N1 * g_tile
+
+    t = mxu_ntt.mxu_tables(N)
+    abar = fops.mod_switch(jnp, lwe_in[:, :n], N).astype(jnp.int32)
+    bbar = fops.mod_switch(jnp, lwe_in[:, n], N)
+    neg_b = (jnp.uint32(2 * N) - bbar) & jnp.uint32(2 * N - 1)
+    body = fops.negacyclic_rotate(jnp, jnp.broadcast_to(testv, (Gp, N)), neg_b, N)
+    body = body.reshape(tiles, g_tile, N1, N2)
+    body = jnp.transpose(body, (0, 3, 1, 2)).reshape(tiles, 1, N2, L)
+    acc0 = jnp.concatenate(
+        [jnp.zeros((tiles, k, N2, L), jnp.uint32), body], axis=1
+    )
+    abar_e = jnp.repeat(
+        abar.reshape(tiles, g_tile, n), N1, axis=1
+    ).transpose(0, 2, 1)  # [tiles, n, L]
+
+    tw_t = jnp.transpose(jnp.asarray(t["tw"]), (0, 2, 1))
+    tw_sh_t = jnp.transpose(jnp.asarray(t["tw_sh"]), (0, 2, 1))
+    twi_t = jnp.transpose(jnp.asarray(t["twi"]), (0, 2, 1))
+    twi_sh_t = jnp.transpose(jnp.asarray(t["twi_sh"]), (0, 2, 1))
+    w2t = jnp.transpose(
+        jnp.asarray(t["w2_limbs"], dtype=jnp.float32), (0, 1, 3, 2)
+    )
+    w2ti = jnp.transpose(
+        jnp.asarray(t["w2i_limbs"], dtype=jnp.float32), (0, 1, 3, 2)
+    )
+    wide = max(rows * L, kp1 * L)
+    e8 = np.zeros((N1, wide), np.float32)
+    lanes = np.arange(wide)
+    e8[lanes % N1, lanes] = 1.0
+    e8 = jnp.asarray(e8)
+    mono_e, mono_sh_e = _mono_tables_mxu(N, g_tile)
+
+    kernel = _make_kernel_mb(params, g_tile, frozenset(ablate.split(",")) - {""})
+
+    def cmap(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape, lambda i, j, _nd=nd: (0,) * _nd, memory_space=pltpu.VMEM
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(tiles, groups),
+        in_specs=[
+            pl.BlockSpec(
+                (1, kp1, N2, L), lambda i, j: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, n, L), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            cmap((NP, LOG_N1, N1)),
+            cmap((NP, LOG_N1, N1)),
+            cmap((NP, LOG_N1, N1)),
+            cmap((NP, LOG_N1, N1)),
+            cmap((NP, N2, N1)),
+            cmap((NP, N2, N1)),
+            cmap((NP, N2, N1)),
+            cmap((NP, N2, N1)),
+            cmap((NP, 2, N2, N2)),
+            cmap((NP, 2, N2, N2)),
+            cmap((N1, wide)),
+            cmap((NP, L2N, N2, L)),
+            cmap((NP, L2N, N2, L)),
+            pl.BlockSpec(
+                (1, nv, rows, kp1, NP, N2, N1),
+                lambda i, j: (j, 0, 0, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, nv, rows, kp1, NP, N2, N1),
+                lambda i, j: (j, 0, 0, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, kp1, N2, L), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((tiles, kp1, N2, L), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((kp1, N2, L), jnp.uint32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+    )(
+        acc0,
+        abar_e,
+        jnp.asarray(t["stage_tw"]),
+        jnp.asarray(t["stage_tw_sh"]),
+        jnp.asarray(t["istage_tw"]),
+        jnp.asarray(t["istage_tw_sh"]),
+        tw_t,
+        tw_sh_t,
+        twi_t,
+        twi_sh_t,
+        w2t,
+        w2ti,
+        e8,
+        mono_e,
+        mono_sh_e,
+        bsk_mxu,
+        bsk_mxu_sh,
+    )
+    acc = out.reshape(tiles, kp1, N2, g_tile, N1)
+    acc = jnp.transpose(acc, (0, 3, 1, 4, 2)).reshape(Gp, kp1, N)
+    return acc[:G]
+
+
 def bootstrap_mxu(dsk, lwe_in, testv, g_tile: int = 32, interpret: bool = False):
     """Full PBS with the MXU blind rotation; bit-identical to pbs_jnp."""
     from ..fhe import ops as fops
     from ..fhe.pbs_jnp import keyswitch
 
     bsk_mxu, bsk_mxu_sh = mxu_server_key(dsk)
-    acc = blind_rotate_mxu(
+    rotate = (
+        blind_rotate_mxu_mb if dsk.params.grouping > 1 else blind_rotate_mxu
+    )
+    acc = rotate(
         dsk.params, bsk_mxu, bsk_mxu_sh, lwe_in, testv,
         g_tile=g_tile, interpret=interpret,
     )

@@ -340,6 +340,8 @@ def blind_rotate_pallas(
     rows = kp1 * params.pbs_level
     NP = len(primes_for(N))
     G = lwe_in.shape[0]
+    if testv.ndim == 1:
+        testv = testv[None, :]
     if G % g_tile:
         pad = g_tile - G % g_tile
         lwe_in = jnp.concatenate(

@@ -292,6 +292,27 @@ GATES_MB2 = TfheParams(
     grouping=2,
 )
 
+#: TPU-tuned multi-bit gates set: GATES_TPU with grouping 2. Halves the
+#: blind-rotation steps; the grouped external product multiplies the BSK
+#: noise variance by ~||P_v||^2 ~ 9 over n/2 steps (net ~4.5x), which the
+#: quiet sigma=8 BSK absorbs: per-PBS failure ~2^-30.6 at XOR linear growth
+#: (vs 2^-95.8 single-bit) — ample for circuit evaluation.
+GATES_TPU_MB2 = TfheParams(
+    name="gates_tpu_mb2",
+    n=512,
+    k=1,
+    N=1024,
+    pbs_base_log=11,
+    pbs_level=2,
+    ks_base_log=2,
+    ks_level=8,
+    lwe_noise_std=128.0,
+    glwe_noise_std=8.0,
+    msg_space_log=3,
+    message_bits=1,
+    grouping=2,
+)
+
 TEST_PARAMS_MB = TfheParams(
     name="test_tiny_mb2",
     n=16,
@@ -320,6 +341,7 @@ ALL_PARAMS = {
         TEST_PARAMS_NOISY,
         GATES_TPU,
         GATES_MB2,
+        GATES_TPU_MB2,
         TEST_PARAMS_MB,
     )
 }

@@ -331,3 +331,41 @@ endmodule
         inputs = {f"x{i}": bool((v >> (7 - i)) & 1) for i in range(8)}
         out = e.decrypt_outputs(e.evaluate(e.encrypt_inputs(inputs)))
         assert out["y"] == table[v], v
+
+
+def test_engine_mxu_backend_two_bit_adder():
+    """BooleanEngine with the fused MXU kernel backend (interpret on CPU),
+    including the multi-bit variant via grouped params."""
+    nl = read_verilog_file("benchmarks/netlists/2-bit-adder.v")
+    inputs = csv_io.read_input_wires(
+        "benchmarks/test-cases/2-bit-adder.inputs.csv", "bool"
+    )
+    exp = _oracle(nl, inputs)
+    for params in (P.TEST_PARAMS, P.TEST_PARAMS_MB):
+        e = BooleanEngine(mode="gates", params=params, seed=97, backend="mxu")
+        e.compile(nl)
+        got = e.decrypt_all_wires(e.evaluate(e.encrypt_inputs(inputs)))
+        for w, v in exp.items():
+            assert got[w] == v, (params.name, w)
+
+
+def test_radix_mxu_backend_add_mul():
+    """RadixOps routed through the MXU kernel backend (interpret on CPU)."""
+    import jax.numpy as jnp
+
+    from helm_tpu.engines import radix
+    from helm_tpu.engines.arith import ArithEngine
+
+    e = ArithEngine("u8", params=P.TEST_PARAMS_ARITH, seed=41)
+    xs, ys = [19, 200], [7, 99]
+    x = jnp.asarray(np.stack([e._encrypt_value(v) for v in xs]))
+    y = jnp.asarray(np.stack([e._encrypt_value(v) for v in ys]))
+    radix.BACKEND[0] = "mxu"
+    try:
+        add = e.ops.add(x, y)
+        mul = e.ops.mul(x, y)
+    finally:
+        radix.BACKEND[0] = "jnp"
+    for i in range(len(xs)):
+        assert e._decrypt_value(np.asarray(add[i])) == (xs[i] + ys[i]) % 256
+        assert e._decrypt_value(np.asarray(mul[i])) == (xs[i] * ys[i]) % 256

@@ -108,3 +108,52 @@ def test_mxu_bootstrap_truth_table(keys):
     )
     got = list(lwe.decode_bool(lwe.decrypt_phase(ck, out)))
     assert got == [a and b for a, b in combos]
+
+
+@pytest.fixture(scope="module")
+def keys_mb():
+    p = P.TEST_PARAMS_MB
+    ck = lwe.keygen(p, seed=31)
+    dsk = pbs_jnp.DeviceServerKey.from_host(server_key.gen_server_key(ck))
+    return p, ck, dsk
+
+
+def test_mxu_multibit_blind_rotate_matches_jnp(keys_mb):
+    """Multi-bit MXU kernel bit-equals the jnp multi-bit reference."""
+    from helm_tpu.ops import mxu_pbs
+
+    p, ck, dsk = keys_mb
+    rng = np.random.default_rng(7)
+    bits = rng.integers(0, 2, 8).astype(bool)
+    ct = lwe.encrypt(ck, lwe.encode_bool(bits))
+    testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
+    ref = np.asarray(
+        jax.jit(pbs_jnp.blind_rotate_multibit)(dsk, jnp.asarray(ct), testv)
+    )
+    bsk_mxu, bsk_mxu_sh = mxu_pbs.mxu_server_key(dsk)
+    got = np.asarray(
+        mxu_pbs.blind_rotate_mxu_mb(
+            p, bsk_mxu, bsk_mxu_sh, jnp.asarray(ct), testv,
+            g_tile=4, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_mxu_multibit_bootstrap_truth_table(keys_mb):
+    from helm_tpu.ops import mxu_pbs
+
+    p, ck, dsk = keys_mb
+    combos = [(a, b) for a in (False, True) for b in (False, True)]
+    c1 = lwe.encrypt(ck, lwe.encode_bool([a for a, _ in combos]))
+    c2 = lwe.encrypt(ck, lwe.encode_bool([b for _, b in combos]))
+    lin = (c1 + c2).astype(np.uint32)
+    lin[:, p.n] += np.uint32((-(1 << 29)) % (1 << 32))
+    out = np.asarray(
+        mxu_pbs.bootstrap_mxu(
+            dsk, jnp.asarray(lin), jnp.asarray(pbs_jnp.gates_test_poly(p)),
+            g_tile=4, interpret=True,
+        )
+    )
+    got = list(lwe.decode_bool(lwe.decrypt_phase(ck, out)))
+    assert got == [a and b for a, b in combos]
