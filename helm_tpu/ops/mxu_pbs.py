@@ -674,9 +674,283 @@ def _make_kernel_mb(params: TfheParams, g_tile: int, ablate: frozenset = frozens
     return kernel
 
 
+def _fs_fwd8(xs, stw, pi: int, p: int):
+    """Negacyclic-8 CT stages across the fA tiles (Python-unrolled
+    butterflies, scalar Shoup twiddles). xs: list of N1 [*, G] tiles."""
+    for s in range(LOG_N1):
+        t = N1 >> (s + 1)
+        ys = [None] * N1
+        for i0 in range(0, N1, 2 * t):
+            for i in range(i0, i0 + t):
+                w = int(stw[0][pi, s, i])
+                wsh = int(stw[1][pi, s, i])
+                t1 = _mshoup(xs[i + t], jnp.uint32(w), jnp.uint32(wsh), p)
+                ys[i] = _madd(xs[i], t1, p)
+                ys[i + t] = _msub(xs[i], t1, p)
+        xs = ys
+    return xs
+
+
+def _fs_inv8(xs, istw, pi: int, p: int):
+    """GS inverse stages across the fA tiles (mirror of _fs_fwd8)."""
+    for s in range(LOG_N1):
+        t = 1 << s
+        ys = [None] * N1
+        for i0 in range(0, N1, 2 * t):
+            for i in range(i0, i0 + t):
+                w = int(istw[0][pi, s, i])
+                wsh = int(istw[1][pi, s, i])
+                ys[i] = _madd(xs[i], xs[i + t], p)
+                ys[i + t] = _mshoup(
+                    _msub(xs[i], xs[i + t], p),
+                    jnp.uint32(w),
+                    jnp.uint32(wsh),
+                    p,
+                )
+        xs = ys
+    return xs
+
+
+def _make_kernel_fs_mb(
+    params: TfheParams, g_tile: int, ablate: frozenset = frozenset()
+):
+    """Multi-bit blind rotation in the frequency-in-sublanes layout.
+
+    Motivation (measured): in the gate-major lane layout every per-frequency
+    constant (BSK slab, monomial table, twist) must be lane-expanded from
+    [.., 8] patterns - K=8 matmuls at ~6% MXU utilization, ~52% of kernel
+    time at grouping 2. Here each polynomial is N1=8 tiles of
+    [N2 (freq, sublanes), G (gates, lanes)], so per-frequency constants are
+    static [N2, 1] column slices broadcast across lanes (native splat) and
+    per-gate selection bits stay [1, G] row broadcasts. The 8-point NTT
+    stage degenerates to Python-unrolled butterflies with *scalar* Shoup
+    twiddles; the 128-point stage is the same [128,128] f32-limb matmul
+    with the decomposition rows concatenated along lanes.
+    """
+    N, k, n = params.N, params.k, params.n
+    g = params.grouping
+    nv = 1 << g
+    N2 = N // N1
+    kp1 = k + 1
+    levels = params.pbs_level
+    rows_tot = kp1 * levels
+    L2N = N.bit_length()
+    tab = get_tables(N)
+    PRIMES = tuple(int(p) for p in tab.primes)
+    NP = len(PRIMES)
+    INV_P = tuple(1.0 / p for p in PRIMES)
+    C16 = tuple((1 << 16) % p for p in PRIMES)
+    C16_SH = tuple((((1 << 16) % p) << 16) // p for p in PRIMES)
+    PROD = 1
+    for _p in PRIMES:
+        PROD *= _p
+    CRT_W_MOD = []
+    CRT_FRAC = []
+    for _p in PRIMES:
+        m = PROD // _p
+        w = m * pow(m, -1, _p)
+        CRT_W_MOD.append(w % (1 << 32))
+        CRT_FRAC.append(float(w / PROD))
+    PROD_MOD = PROD % (1 << 32)
+    G = g_tile  # gates per tile batch (lanes)
+    t_host = mxu_ntt.mxu_tables(N)
+    STW = (t_host["stage_tw"], t_host["stage_tw_sh"])
+    ISTW = (t_host["istage_tw"], t_host["istage_tw_sh"])
+
+    def kernel(
+        acc0_ref,  # [kp1, N1, N2, G]
+        abar_ref,  # [1, n, G] int32
+        tw_ref,  # [N2, NP*N1] twist, col = pi*N1 + fA
+        tw_sh_ref,
+        twi_ref,
+        twi_sh_ref,
+        w2t_ref,  # [NP, 2, N2, N2]
+        w2ti_ref,
+        mono_ref,  # [N2, L2N*NP*N1], col = (b*NP + pi)*N1 + fA
+        mono_sh_ref,
+        bsk_ref,  # [1, N2, nv*rows*kp1*NP*N1]
+        bsk_sh_ref,
+        out_ref,  # [kp1, N1, N2, G]
+        acc_scr,  # [kp1, N1, N2, G]
+    ):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_scr[...] = acc0_ref[0]
+
+        ones_u = jnp.ones((N2, G), jnp.uint32)
+
+        def col(ref2d, c, width=G):
+            # static [N2, 1] column -> broadcast across gate lanes
+            return jnp.broadcast_to(ref2d[:, c : c + 1], (N2, width))
+
+        # --- monomial NTTs per member: M[i][pi] = N1 tiles of [N2, G]
+        M = [[None] * NP for _ in range(g)]
+        for i in range(g):
+            a_i = abar_ref[0, g * j + i, :]  # [G] lane vector
+            bits = [
+                ((a_i >> b) & 1).astype(jnp.uint32)[None, :]
+                for b in range(L2N)
+            ]
+            for pi, p in enumerate(PRIMES):
+                tiles = []
+                for t in range(N1):
+                    if "noladder" in ablate:
+                        tiles.append(col(mono_ref, (i * NP + pi) * N1 + t))
+                        continue
+                    c0 = (0 * NP + pi) * N1 + t
+                    m = jnp.where(bits[0] == 1, col(mono_ref, c0), ones_u)
+                    for b in range(1, L2N):
+                        c = (b * NP + pi) * N1 + t
+                        m2 = _mshoup(
+                            m, col(mono_ref, c), col(mono_sh_ref, c), p
+                        )
+                        m = jnp.where(bits[b] == 1, m2, m)
+                    tiles.append(m)
+                M[i][pi] = tiles
+
+        # --- subset polynomials P_v = prod_{i in v} (M_i - 1)
+        pv = {}
+        for v in range(1, nv):
+            idxs = [i for i in range(g) if (v >> i) & 1]
+            if len(idxs) == 1:
+                pv[v] = [
+                    [_msub(tile, jnp.uint32(1), p) for tile in M[idxs[0]][pi]]
+                    for pi, p in enumerate(PRIMES)
+                ]
+            else:
+                cur = pv[1 << idxs[0]]
+                for i in idxs[1:]:
+                    nxt = pv[1 << i]
+                    cur = [
+                        [
+                            _gmul(a, b, p, INV_P[pi])
+                            for a, b in zip(cur[pi], nxt[pi])
+                        ]
+                        for pi, p in enumerate(PRIMES)
+                    ]
+                pv[v] = cur
+
+        # --- decompose acc (the external product REPLACES it)
+        # digs[t][r]: int32 [N2, G] digit of row r, tile t
+        digs = [[] for _ in range(N1)]
+        for c in range(kp1):
+            for t in range(N1):
+                digs[t].extend(
+                    _decompose(acc_scr[c, t], params.pbs_base_log, levels)
+                )
+
+        # --- forward NTT: rows concatenated along lanes, per tile
+        fwd = [
+            [[None] * N1 for _ in range(NP)] for _ in range(rows_tot)
+        ]  # fwd[r][pi][t] = [N2, G]
+        for pi, p in enumerate(PRIMES):
+            xs = []
+            for t in range(N1):
+                stacked = jnp.concatenate(
+                    [
+                        jnp.where(d < 0, d + p, d).astype(jnp.uint32)
+                        for d in digs[t]
+                    ],
+                    axis=1,
+                )  # [N2, rows*G]
+                xs.append(stacked)
+            xs = _fs_fwd8(xs, STW, pi, p)
+            for t in range(N1):
+                tc = pi * N1 + t
+                v = _mshoup(
+                    xs[t],
+                    col(tw_ref, tc, rows_tot * G),
+                    col(tw_sh_ref, tc, rows_tot * G),
+                    p,
+                )
+                f = _lane128_matmul(
+                    v, w2t_ref[pi, 0], w2t_ref[pi, 1], p, INV_P[pi],
+                    C16[pi], C16_SH[pi],
+                )
+                for r in range(rows_tot):
+                    fwd[r][pi][t] = f[:, r * G : (r + 1) * G]
+
+        # --- pointwise: T_v = sum_r f_r (.) BSK_v[r, c2] (broadcast cols);
+        #     result = T_0 + sum_{v>=1} P_v (.) T_v
+        conv_ntt = [[None] * NP for _ in range(kp1)]
+        for c2 in range(kp1):
+            for pi, p in enumerate(PRIMES):
+                if "noptw" in ablate:
+                    conv_ntt[c2][pi] = fwd[0][pi]
+                    continue
+                tiles_out = []
+                for t in range(N1):
+                    s = None
+                    for v in range(nv):
+                        t_acc = None
+                        for r in range(rows_tot):
+                            cidx = (
+                                ((v * rows_tot + r) * kp1 + c2) * NP + pi
+                            ) * N1 + t
+                            term = _mshoup(
+                                fwd[r][pi][t],
+                                col(bsk_ref[0], cidx),
+                                col(bsk_sh_ref[0], cidx),
+                                p,
+                            )
+                            t_acc = term if t_acc is None else t_acc + term
+                        t_acc = _reduce_chain(t_acc, rows_tot + 1, p)
+                        if v == 0:
+                            term = t_acc
+                        elif "nogmul" in ablate:
+                            term = _madd(pv[v][pi][t], t_acc, p)
+                        else:
+                            term = _gmul(pv[v][pi][t], t_acc, p, INV_P[pi])
+                        s = term if s is None else _madd(s, term, p)
+                    tiles_out.append(s)
+                conv_ntt[c2][pi] = tiles_out
+
+        # --- inverse NTT per prime (kp1 polys along lanes), then CRT
+        inv_res = []  # [pi][t] -> [N2, kp1*G]
+        for pi, p in enumerate(PRIMES):
+            xs = []
+            for t in range(N1):
+                stacked = jnp.concatenate(
+                    [conv_ntt[c][pi][t] for c in range(kp1)], axis=1
+                )  # [N2, kp1*G]
+                v = _lane128_matmul(
+                    stacked, w2ti_ref[pi, 0], w2ti_ref[pi, 1], p, INV_P[pi],
+                    C16[pi], C16_SH[pi],
+                )
+                tc = pi * N1 + t
+                xs.append(
+                    _mshoup(
+                        v,
+                        col(twi_ref, tc, kp1 * G),
+                        col(twi_sh_ref, tc, kp1 * G),
+                        p,
+                    )
+                )
+            inv_res.append(_fs_inv8(xs, ISTW, pi, p))
+        for c in range(kp1):
+            for t in range(N1):
+                res = [
+                    inv_res[pi][t][:, c * G : (c + 1) * G]
+                    for pi in range(NP)
+                ]
+                acc_scr[c, t] = _crt_fast(
+                    res, CRT_W_MOD, CRT_FRAC, PROD_MOD
+                )
+
+        @pl.when(j == n // g - 1)
+        def _():
+            out_ref[0] = acc_scr[...]
+
+    return kernel
+
+
 @functools.lru_cache(maxsize=None)
 def _mxu_key_cache():
     return {}
+
+
 
 
 def mxu_server_key(dsk):
@@ -1003,17 +1277,218 @@ def blind_rotate_mxu_mb(
     return acc[:G]
 
 
-def bootstrap_mxu(dsk, lwe_in, testv, g_tile: int = 32, interpret: bool = False):
-    """Full PBS with the MXU blind rotation; bit-identical to pbs_jnp."""
+def mxu_server_key_fs(dsk):
+    """Grouped BSK in frequency-in-sublanes layout:
+    [groups, N2, nv*rows*kp1*NP*N1] with col = (((v*rows+r)*kp1+c2)*NP+pi)*N1+fA."""
+    cache = _mxu_key_cache()
+    key = ("fs", id(dsk.bsk_ntt))
+    if key not in cache:
+        t = mxu_ntt.mxu_tables(dsk.params.N)
+        perm = jnp.asarray(t["perm_from_std"])
+        groups, nv, rows, kp1, NP, N = dsk.bsk_ntt.shape
+        N2 = N // N1
+
+        def conv(b):
+            x = b[..., perm].reshape(groups, nv, rows, kp1, NP, N1, N2)
+            x = jnp.transpose(x, (0, 6, 1, 2, 3, 4, 5))
+            return x.reshape(groups, N2, nv * rows * kp1 * NP * N1)
+
+        cache[key] = (conv(dsk.bsk_ntt), conv(dsk.bsk_ntt_sh))
+    return cache[key]
+
+
+@functools.lru_cache(maxsize=None)
+def _fs_tables(N: int):
+    """Host-side twist and monomial tables in fs layout (numpy; cached).
+
+    tw/twi: [N2, NP*N1] (col = pi*N1 + fA); mono: [N2, L2N*NP*N1]
+    (col = (b*NP + pi)*N1 + fA). Tiny: ~180 KB each at N=1024.
+    """
+    from ..fhe.pbs_jnp import monomial_tables
+
+    t = mxu_ntt.mxu_tables(N)
+    perm = np.asarray(t["perm_from_std"])
+    N2 = N // N1
+
+    def twc(m):  # [NP, N1(jA), N2(jB)] -> [N2, NP*N1]
+        return np.ascontiguousarray(
+            np.transpose(m, (2, 0, 1)).reshape(N2, -1)
+        )
+
+    mono, mono_sh = monomial_tables(N)
+    L2N = mono.shape[0]
+
+    def mx(m):  # [L2N, NP, N] -> [N2, L2N*NP*N1]
+        x = m[:, :, perm].reshape(L2N, m.shape[1], N1, N2)
+        return np.ascontiguousarray(
+            np.transpose(x, (3, 0, 1, 2)).reshape(N2, -1)
+        )
+
+    return {
+        "tw": twc(t["tw"]),
+        "tw_sh": twc(t["tw_sh"]),
+        "twi": twc(t["twi"]),
+        "twi_sh": twc(t["twi_sh"]),
+        "mono": mx(mono),
+        "mono_sh": mx(mono_sh),
+    }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "g_tile", "interpret", "ablate")
+)
+def blind_rotate_fs_mb(
+    params: TfheParams,
+    bsk_fs,
+    bsk_fs_sh,
+    lwe_in,
+    testv,
+    g_tile: int = 256,
+    interpret: bool = False,
+    ablate: str = "",
+):
+    """Multi-bit MXU blind rotation, frequency-in-sublanes layout.
+
+    g_tile here is the number of gates per kernel batch (the lane width of
+    every tile array); 256 = two vregs wide."""
+    from ..fhe import ops as fops
+
+    N, k, n = params.N, params.k, params.n
+    g = params.grouping
+    nv = 1 << g
+    groups = n // g
+    N2 = N // N1
+    kp1 = k + 1
+    rows = kp1 * params.pbs_level
+    NP = len(primes_for(N))
+    L2N = N.bit_length()
+    G = lwe_in.shape[0]
+    if testv.ndim == 1:
+        testv = testv[None, :]
+    if G % g_tile:
+        pad = g_tile - G % g_tile
+        lwe_in = jnp.concatenate(
+            [lwe_in, jnp.zeros((pad, n + 1), jnp.uint32)], axis=0
+        )
+        if testv.shape[0] != 1:
+            testv = jnp.concatenate(
+                [testv, jnp.zeros((pad, N), jnp.uint32)], axis=0
+            )
+    Gp = lwe_in.shape[0]
+    tiles = Gp // g_tile
+
+    t = mxu_ntt.mxu_tables(N)
+    fst = _fs_tables(N)
+    abar = fops.mod_switch(jnp, lwe_in[:, :n], N).astype(jnp.int32)
+    bbar = fops.mod_switch(jnp, lwe_in[:, n], N)
+    neg_b = (jnp.uint32(2 * N) - bbar) & jnp.uint32(2 * N - 1)
+    body = fops.negacyclic_rotate(jnp, jnp.broadcast_to(testv, (Gp, N)), neg_b, N)
+    # [Gp, N] -> [tiles, N1(jA), N2(jB), G(lanes)]
+    body = body.reshape(tiles, g_tile, N1, N2)
+    body = jnp.transpose(body, (0, 2, 3, 1))[:, None]
+    acc0 = jnp.concatenate(
+        [jnp.zeros((tiles, k, N1, N2, g_tile), jnp.uint32), body], axis=1
+    )
+    abar_t = jnp.transpose(abar.reshape(tiles, g_tile, n), (0, 2, 1))
+
+    w2t = jnp.transpose(
+        jnp.asarray(t["w2_limbs"], dtype=jnp.float32), (0, 1, 3, 2)
+    )
+    w2ti = jnp.transpose(
+        jnp.asarray(t["w2i_limbs"], dtype=jnp.float32), (0, 1, 3, 2)
+    )
+
+    kernel = _make_kernel_fs_mb(
+        params, g_tile, frozenset(ablate.split(",")) - {""}
+    )
+
+    def cmap(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape, lambda i, j, _nd=nd: (0,) * _nd, memory_space=pltpu.VMEM
+        )
+
+    CC = nv * rows * kp1 * NP * N1
+    out = pl.pallas_call(
+        kernel,
+        grid=(tiles, groups),
+        in_specs=[
+            pl.BlockSpec(
+                (1, kp1, N1, N2, g_tile), lambda i, j: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, n, g_tile), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            cmap((N2, NP * N1)),
+            cmap((N2, NP * N1)),
+            cmap((N2, NP * N1)),
+            cmap((N2, NP * N1)),
+            cmap((NP, 2, N2, N2)),
+            cmap((NP, 2, N2, N2)),
+            cmap((N2, L2N * NP * N1)),
+            cmap((N2, L2N * NP * N1)),
+            pl.BlockSpec(
+                (1, N2, CC), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, N2, CC), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, kp1, N1, N2, g_tile), lambda i, j: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (tiles, kp1, N1, N2, g_tile), jnp.uint32
+        ),
+        scratch_shapes=[pltpu.VMEM((kp1, N1, N2, g_tile), jnp.uint32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(
+        acc0,
+        abar_t,
+        jnp.asarray(fst["tw"]),
+        jnp.asarray(fst["tw_sh"]),
+        jnp.asarray(fst["twi"]),
+        jnp.asarray(fst["twi_sh"]),
+        w2t,
+        w2ti,
+        jnp.asarray(fst["mono"]),
+        jnp.asarray(fst["mono_sh"]),
+        bsk_fs,
+        bsk_fs_sh,
+    )
+    # [tiles, kp1, N1, N2, G] -> [Gp, kp1, N]
+    acc = jnp.transpose(out, (0, 4, 1, 2, 3)).reshape(Gp, kp1, N)
+    return acc[:G]
+
+
+def bootstrap_mxu(
+    dsk, lwe_in, testv, g_tile: int | None = None, interpret: bool = False
+):
+    """Full PBS with the MXU blind rotation; bit-identical to pbs_jnp.
+
+    grouping == 1 uses the gate-major single-bit kernel (g_tile = gates/8
+    per tile, default 32); grouping > 1 uses the frequency-in-sublanes
+    multi-bit kernel (g_tile = gates per tile, default 256 — two vregs of
+    lanes; measured fastest and removes the BSK lane-expansion entirely).
+    """
     from ..fhe import ops as fops
     from ..fhe.pbs_jnp import keyswitch
 
-    bsk_mxu, bsk_mxu_sh = mxu_server_key(dsk)
-    rotate = (
-        blind_rotate_mxu_mb if dsk.params.grouping > 1 else blind_rotate_mxu
-    )
+    if dsk.params.grouping > 1:
+        bsk_a, bsk_b = mxu_server_key_fs(dsk)
+        rotate = blind_rotate_fs_mb
+        if g_tile is None:
+            g_tile = 8 if interpret else 256
+    else:
+        bsk_a, bsk_b = mxu_server_key(dsk)
+        rotate = blind_rotate_mxu
+        if g_tile is None:
+            g_tile = 4 if interpret else 32
     acc = rotate(
-        dsk.params, bsk_mxu, bsk_mxu_sh, lwe_in, testv,
+        dsk.params, bsk_a, bsk_b, lwe_in, testv,
         g_tile=g_tile, interpret=interpret,
     )
     big = fops.sample_extract(jnp, acc, dsk.params.k, dsk.params.N)

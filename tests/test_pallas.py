@@ -140,6 +140,28 @@ def test_mxu_multibit_blind_rotate_matches_jnp(keys_mb):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_fs_multibit_blind_rotate_matches_jnp(keys_mb):
+    """Frequency-in-sublanes multi-bit kernel bit-equals the jnp reference."""
+    from helm_tpu.ops import mxu_pbs
+
+    p, ck, dsk = keys_mb
+    rng = np.random.default_rng(11)
+    bits = rng.integers(0, 2, 8).astype(bool)
+    ct = lwe.encrypt(ck, lwe.encode_bool(bits))
+    testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
+    ref = np.asarray(
+        jax.jit(pbs_jnp.blind_rotate_multibit)(dsk, jnp.asarray(ct), testv)
+    )
+    bsk_fs, bsk_fs_sh = mxu_pbs.mxu_server_key_fs(dsk)
+    got = np.asarray(
+        mxu_pbs.blind_rotate_fs_mb(
+            p, bsk_fs, bsk_fs_sh, jnp.asarray(ct), testv,
+            g_tile=8, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_mxu_multibit_bootstrap_truth_table(keys_mb):
     from helm_tpu.ops import mxu_pbs
 

@@ -38,7 +38,13 @@ lin = (
 lin[:, p.n] += np.uint32((-(1 << 29)) % (1 << 32))
 testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
 x = jnp.asarray(lin)
-bsk_mxu, bsk_mxu_sh = mxu_pbs.mxu_server_key(dsk)
+layout = os.environ.get("LAYOUT", "gm")  # gm = gate-major, fs = freq-sublane
+if layout == "fs":
+    bsk_a, bsk_b = mxu_pbs.mxu_server_key_fs(dsk)
+    rot_fn = mxu_pbs.blind_rotate_fs_mb
+else:
+    bsk_a, bsk_b = mxu_pbs.mxu_server_key(dsk)
+    rot_fn = mxu_pbs.blind_rotate_mxu_mb
 
 gts = [int(v) for v in os.environ.get("GTS", "32").split(",")]
 ablates = os.environ.get("ABLATES", "").split(":")
@@ -46,21 +52,17 @@ ablates = os.environ.get("ABLATES", "").split(":")
 for gt in gts:
     for ab in ablates:
         t0 = time.time()
-        acc = mxu_pbs.blind_rotate_mxu_mb(
-            p, bsk_mxu, bsk_mxu_sh, x, testv, g_tile=gt, ablate=ab
-        )
+        acc = rot_fn(p, bsk_a, bsk_b, x, testv, g_tile=gt, ablate=ab)
         _ = np.asarray(acc)
         compile_t = time.time() - t0
         t0 = time.time()
         iters = 6
         for _i in range(iters):
-            acc = mxu_pbs.blind_rotate_mxu_mb(
-                p, bsk_mxu, bsk_mxu_sh, x, testv, g_tile=gt, ablate=ab
-            )
+            acc = rot_fn(p, bsk_a, bsk_b, x, testv, g_tile=gt, ablate=ab)
         _ = np.asarray(acc)
         dt = time.time() - t0
         print(
-            f"gt={gt} ablate={ab!r}: {G*iters/dt:.1f} rot/s "
+            f"{layout} gt={gt} ablate={ab!r}: {G*iters/dt:.1f} rot/s "
             f"(compile {compile_t:.1f}s)",
             flush=True,
         )
