@@ -263,6 +263,92 @@ def _lane128_matmul(u, w2t0, w2t1, p: int, inv_p: float, c16: int, c16_sh: int):
     return _madd(r, _mshoup(hi_u, jnp.uint32(c16), jnp.uint32(c16_sh), p), p)
 
 
+# --- balanced-signed f32 modular arithmetic -------------------------------
+# The VPU runs f32 mul/fma at full rate while u32 multiplies lower to
+# multi-op sequences, so the hot pointwise stage of the multi-bit kernel
+# works on balanced representatives (|x| <= p/2) kept in f32. All values
+# are integers; every product/sum is kept below 2^24 so f32 is exact.
+
+
+def _redfb(t, p: int, inv_p: float):
+    """Integer-valued f32 -> balanced mod p. Exact for |t| < 2^24. The f32
+    quotient may be off by one near half-integer ratios, so the result is
+    only bounded by 1.5*p — apply _tighten where a strict p/2 bound feeds
+    a product."""
+    q = jnp.floor(t * inv_p + 0.5)
+    return t - q * p
+
+
+def _tighten(t, p: int):
+    """Balanced-ish f32 (|t| <= 1.5*p) -> strictly |out| <= p//2."""
+    hp = float(p // 2)
+    t = jnp.where(t > hp, t - p, t)
+    return jnp.where(t < -hp, t + p, t)
+
+
+def _redfbt(t, p: int, inv_p: float):
+    return _tighten(_redfb(t, p, inv_p), p)
+
+
+def _split256(t):
+    """Integer f32 -> (lo, hi) with t = lo + 256*hi, |lo| <= 128."""
+    hi = jnp.floor(t * (1.0 / 256.0) + 0.5)
+    return t - 256.0 * hi, hi
+
+
+def _to_bal_f32(u, p: int):
+    """u32 in [0, p) -> balanced f32 in [-p//2, p//2]."""
+    t32 = u.astype(jnp.int32)
+    return jnp.where(t32 > p // 2, t32 - p, t32).astype(jnp.float32)
+
+
+def _mm128_parts(bal, w0, w1, p: int, inv_p: float):
+    """Limb matmul of balanced f32 [N2, L] against [N2, N2] balanced 8-bit
+    limb matrices (contraction over sublanes): returns (lo, mid, hi) f32
+    with result = lo + 2^8*mid + 2^16*hi mod p, each |.| <= 1.5*p.
+
+    REQUIRES |bal| <= p//2 so both input limbs stay <= 128: the TPU's
+    default f32 dot_general runs ONE bf16 pass, exact only for operands
+    that fit 8 significand bits. (CPU interpret would be exact up to 2^24
+    — do not widen the bound based on interpret-mode tests.)"""
+    a0, a1 = _split256(bal)
+
+    def mm(w, a):
+        return jax.lax.dot_general(
+            w, a, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    lo = _redfb(mm(w0, a0), p, inv_p)
+    mid = _redfb(mm(w1, a0) + mm(w0, a1), p, inv_p)
+    hi = _redfb(mm(w1, a1), p, inv_p)
+    return lo, mid, hi
+
+
+def _mm128_fold(lo, mid, hi, p: int, inv_p: float):
+    """lo + 2^8*mid + 2^16*hi mod p, balanced f32 in/out (|out| <= p//2)."""
+    h1 = _redfb(256.0 * _tighten(hi, p), p, inv_p)
+    s1 = _redfbt(mid + h1, p, inv_p)
+    return _redfbt(lo + _redfb(256.0 * s1, p, inv_p), p, inv_p)
+
+
+def _lane128_matmul_fwd_bal(u, w0, w1, p: int, inv_p: float):
+    """u32 [0, p) -> (W2^T @ u) mod p as balanced f32 (|out| <= p//2),
+    feeding the f32 pointwise stage directly — no u32 round trip and no
+    integer-Shoup epilogue."""
+    bal = _to_bal_f32(u, p)
+    lo, mid, hi = _mm128_parts(bal, w0, w1, p, inv_p)
+    return _mm128_fold(lo, mid, hi, p, inv_p)
+
+
+def _lane128_matmul_inv_bal(bal, w0, w1, p: int, inv_p: float):
+    """Balanced f32 (|in| <= p//2) -> (W2^T @ in) mod p as u32 in [0, p)."""
+    lo, mid, hi = _mm128_parts(bal, w0, w1, p, inv_p)
+    ob = _mm128_fold(lo, mid, hi, p, inv_p)
+    i = ob.astype(jnp.int32)
+    return jnp.where(i < 0, i + p, i).astype(jnp.uint32)
+
+
 def _crt_fast(res, w_mod, fracs, prod_mod):
     """CRT residues -> value mod 2^32 via float-corrected reconstruction.
 
@@ -726,6 +812,13 @@ def _make_kernel_fs_mb(
     stage degenerates to Python-unrolled butterflies with *scalar* Shoup
     twiddles; the 128-point stage is the same [128,128] f32-limb matmul
     with the decomposition rows concatenated along lanes.
+
+    The external-product pointwise stage (the hot loop: nv * rows Shoup
+    muls per tile) runs entirely in balanced-signed f32 with the BSK as
+    8-bit limb pairs: 2 fma per term, Barrett reductions deferred to once
+    per (v, c2) — f32 fma is full-rate on the VPU while u32 multiplies
+    lower to multi-op sequences. The matmul epilogues stay in the same
+    balanced domain so values cross u32<->f32 only at the NTT boundaries.
     """
     N, k, n = params.N, params.k, params.n
     g = params.grouping
@@ -768,8 +861,8 @@ def _make_kernel_fs_mb(
         w2ti_ref,
         mono_ref,  # [N2, L2N*NP*N1], col = (b*NP + pi)*N1 + fA
         mono_sh_ref,
-        bsk_ref,  # [1, N2, nv*rows*kp1*NP*N1]
-        bsk_sh_ref,
+        bsklo_ref,  # f32 [1, N2, nv*rows*kp1*NP*N1] balanced 8-bit limbs
+        bskhi_ref,  # (B = lo + 256*hi mod p)
         out_ref,  # [kp1, N1, N2, G]
         acc_scr,  # [kp1, N1, N2, G]
     ):
@@ -865,46 +958,85 @@ def _make_kernel_fs_mb(
                     col(tw_sh_ref, tc, rows_tot * G),
                     p,
                 )
-                f = _lane128_matmul(
-                    v, w2t_ref[pi, 0], w2t_ref[pi, 1], p, INV_P[pi],
-                    C16[pi], C16_SH[pi],
+                f = _lane128_matmul_fwd_bal(
+                    v, w2t_ref[pi, 0], w2t_ref[pi, 1], p, INV_P[pi]
                 )
                 for r in range(rows_tot):
                     fwd[r][pi][t] = f[:, r * G : (r + 1) * G]
 
-        # --- pointwise: T_v = sum_r f_r (.) BSK_v[r, c2] (broadcast cols);
+        # --- subset polys as balanced f32 (once per (v, pi, tile))
+        pv_b = {
+            v: [
+                [_to_bal_f32(tile, p) for tile in pv[v][pi]]
+                for pi, p in enumerate(PRIMES)
+            ]
+            for v in range(1, nv)
+        }
+
+        # --- pointwise (balanced f32): T_v = sum_r f_r (.) BSK_v[r, c2]
+        #     via 8-bit BSK limbs (2 fma per term, one deferred Barrett);
         #     result = T_0 + sum_{v>=1} P_v (.) T_v
-        conv_ntt = [[None] * NP for _ in range(kp1)]
+        conv_ntt = [[None] * NP for _ in range(kp1)]  # balanced f32 tiles
         for c2 in range(kp1):
             for pi, p in enumerate(PRIMES):
+                ip = INV_P[pi]
                 if "noptw" in ablate:
                     conv_ntt[c2][pi] = fwd[0][pi]
                     continue
+                # terms are <= (p//2)*128; cap the unreduced f32 sum at 2^24
+                chunk = (1 << 24) // ((p // 2 + 1) * 128)
                 tiles_out = []
                 for t in range(N1):
                     s = None
                     for v in range(nv):
-                        t_acc = None
+                        slo = shi = None
+                        cnt = 0
                         for r in range(rows_tot):
                             cidx = (
                                 ((v * rows_tot + r) * kp1 + c2) * NP + pi
                             ) * N1 + t
-                            term = _mshoup(
-                                fwd[r][pi][t],
-                                col(bsk_ref[0], cidx),
-                                col(bsk_sh_ref[0], cidx),
-                                p,
-                            )
-                            t_acc = term if t_acc is None else t_acc + term
-                        t_acc = _reduce_chain(t_acc, rows_tot + 1, p)
-                        if v == 0:
-                            term = t_acc
-                        elif "nogmul" in ablate:
-                            term = _madd(pv[v][pi][t], t_acc, p)
+                            f = fwd[r][pi][t]
+                            if "nobsk" in ablate:  # perf probe: load cost
+                                plo = f * jnp.float32(3.0 + r)
+                                phi = f * jnp.float32(5.0 + r)
+                            else:
+                                plo = f * col(bsklo_ref[0], cidx)
+                                phi = f * col(bskhi_ref[0], cidx)
+                            if slo is None:
+                                slo, shi = plo, phi
+                            else:
+                                slo, shi = slo + plo, shi + phi
+                            cnt += 1
+                            if cnt == chunk and r + 1 < rows_tot:
+                                slo = _redfbt(slo, p, ip)
+                                shi = _redfbt(shi, p, ip)
+                                cnt = 1
+                        if "nored" in ablate:  # perf probe: Barrett cost
+                            tv = slo + shi
                         else:
-                            term = _gmul(pv[v][pi][t], t_acc, p, INV_P[pi])
-                        s = term if s is None else _madd(s, term, p)
-                    tiles_out.append(s)
+                            shi = _redfbt(shi, p, ip)
+                            tv = _redfbt(
+                                _redfb(slo, p, ip)
+                                + _redfb(256.0 * shi, p, ip),
+                                p, ip,
+                            )
+                        if v == 0:
+                            term = tv
+                        elif "nogmul" in ablate:
+                            term = pv_b[v][pi][t] + tv
+                        else:
+                            pvb = pv_b[v][pi][t]
+                            r0, qv = _split256(tv)
+                            u = _redfbt(pvb * qv, p, ip)
+                            term = _redfbt(
+                                pvb * r0 + _redfb(256.0 * u, p, ip),
+                                p, ip,
+                            )
+                        s = term if s is None else s + term
+                    # _redfbt, not _redfb: the inverse matmul's 256-limbs
+                    # must stay <= 128 (bf16-exact on the MXU's single
+                    # f32 pass), which needs strictly |in| <= p//2
+                    tiles_out.append(_redfbt(s, p, ip))
                 conv_ntt[c2][pi] = tiles_out
 
         # --- inverse NTT per prime (kp1 polys along lanes), then CRT
@@ -914,10 +1046,9 @@ def _make_kernel_fs_mb(
             for t in range(N1):
                 stacked = jnp.concatenate(
                     [conv_ntt[c][pi][t] for c in range(kp1)], axis=1
-                )  # [N2, kp1*G]
-                v = _lane128_matmul(
-                    stacked, w2ti_ref[pi, 0], w2ti_ref[pi, 1], p, INV_P[pi],
-                    C16[pi], C16_SH[pi],
+                )  # [N2, kp1*G] balanced f32
+                v = _lane128_matmul_inv_bal(
+                    stacked, w2ti_ref[pi, 0], w2ti_ref[pi, 1], p, INV_P[pi]
                 )
                 tc = pi * N1 + t
                 xs.append(
@@ -1278,8 +1409,10 @@ def blind_rotate_mxu_mb(
 
 
 def mxu_server_key_fs(dsk):
-    """Grouped BSK in frequency-in-sublanes layout:
-    [groups, N2, nv*rows*kp1*NP*N1] with col = (((v*rows+r)*kp1+c2)*NP+pi)*N1+fA."""
+    """Grouped BSK in frequency-in-sublanes layout, as balanced-signed f32
+    8-bit limb pairs (lo, hi) with B = lo + 256*hi mod p, |lo|,|hi| <= 128:
+    [groups, N2, nv*rows*kp1*NP*N1], col = (((v*rows+r)*kp1+c2)*NP+pi)*N1+fA.
+    The kernel's f32 pointwise accumulates these exactly below 2^24."""
     cache = _mxu_key_cache()
     key = ("fs", id(dsk.bsk_ntt))
     if key not in cache:
@@ -1287,13 +1420,26 @@ def mxu_server_key_fs(dsk):
         perm = jnp.asarray(t["perm_from_std"])
         groups, nv, rows, kp1, NP, N = dsk.bsk_ntt.shape
         N2 = N // N1
+        pr = jnp.asarray(
+            np.array(primes_for(dsk.params.N), np.int32)
+        ).reshape(1, 1, 1, 1, NP, 1)
 
-        def conv(b):
-            x = b[..., perm].reshape(groups, nv, rows, kp1, NP, N1, N2)
-            x = jnp.transpose(x, (0, 6, 1, 2, 3, 4, 5))
-            return x.reshape(groups, N2, nv * rows * kp1 * NP * N1)
+        @jax.jit
+        def make(b_u32):
+            def conv(x):
+                x = x[..., perm].reshape(
+                    groups, nv, rows, kp1, NP, N1, N2
+                )
+                x = jnp.transpose(x, (0, 6, 1, 2, 3, 4, 5))
+                return x.reshape(groups, N2, nv * rows * kp1 * NP * N1)
 
-        cache[key] = (conv(dsk.bsk_ntt), conv(dsk.bsk_ntt_sh))
+            b = b_u32.astype(jnp.int32)
+            bal = jnp.where(b > pr // 2, b - pr, b)
+            hi = jnp.round(bal.astype(jnp.float32) / 256.0).astype(jnp.int32)
+            lo = (bal - 256 * hi).astype(jnp.float32)
+            return conv(lo), conv(hi.astype(jnp.float32))
+
+        cache[key] = tuple(make(dsk.bsk_ntt))
     return cache[key]
 
 
@@ -1339,8 +1485,8 @@ def _fs_tables(N: int):
 )
 def blind_rotate_fs_mb(
     params: TfheParams,
-    bsk_fs,
-    bsk_fs_sh,
+    bsk_lo,
+    bsk_hi,
     lwe_in,
     testv,
     g_tile: int = 256,
@@ -1456,8 +1602,8 @@ def blind_rotate_fs_mb(
         w2ti,
         jnp.asarray(fst["mono"]),
         jnp.asarray(fst["mono_sh"]),
-        bsk_fs,
-        bsk_fs_sh,
+        bsk_lo,
+        bsk_hi,
     )
     # [tiles, kp1, N1, N2, G] -> [Gp, kp1, N]
     acc = jnp.transpose(out, (0, 4, 1, 2, 3)).reshape(Gp, kp1, N)
