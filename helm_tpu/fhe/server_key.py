@@ -18,10 +18,53 @@ from dataclasses import dataclass
 
 import numpy as np
 
+import functools
+
 from ..params import Q, TfheParams
 from . import ntt
 from .lwe import ClientKey, _noise
 from .modring import NUM_PRIMES, get_tables
+
+
+@functools.lru_cache(maxsize=None)
+def _keygen_cpu_jit(N: int):
+    """Jitted host-CPU helpers for keygen-scale NTT batches.
+
+    Keygen stays a host/client-side operation, but the pure-numpy NTT is
+    single-threaded and dominates multi-bit keygen (~8 min at n=512,
+    grouping=2). The ntt module is backend-agnostic, so the same exact
+    integer pipeline runs ~20x faster as jitted jnp on the CPU backend
+    (never the TPU: jax.default_device pins the local CPU compiler).
+    Returns (fwd, body) callables operating on/returning numpy arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    tab = get_tables(N)
+    cpu = jax.devices("cpu")[0]
+
+    @jax.jit
+    def fwd(raw):  # u32 [..., N] -> NTT residues u32 [..., NP, N]
+        return ntt.ntt_fwd(jnp, ntt.to_residues(jnp, raw, tab), tab)
+
+    @jax.jit
+    def body(a, s_ntt):  # mask polys [rows, k, N], key NTT [k, NP, N]
+        primes = jnp.asarray(tab.primes).reshape(NUM_PRIMES, 1)
+        a_ntt = ntt.ntt_fwd(jnp, ntt.to_residues(jnp, a, tab), tab)
+        prod = ntt._generic_modmul(jnp, a_ntt, s_ntt[None], primes)
+        acc = prod[:, 0]
+        for c in range(1, s_ntt.shape[0]):
+            acc = ntt.add_mod(jnp, acc, prod[:, c], primes)
+        return ntt.garner_to_u32(jnp, ntt.ntt_inv(jnp, acc, tab), tab)
+
+    def run(fn):
+        def wrapped(*args):
+            with jax.default_device(cpu):
+                return np.asarray(fn(*jax.device_put(args, cpu)))
+
+        return wrapped
+
+    return run(fwd), run(body)
 
 
 @dataclass
@@ -39,15 +82,9 @@ def _glwe_enc_zero_batch(ck: ClientKey, rows: int) -> np.ndarray:
     p = ck.params
     tab = get_tables(p.N)
     a = ck.rng.integers(0, Q, size=(rows, p.k, p.N), dtype=np.uint32)
-    s_ntt = ntt.ntt_fwd(np, ntt.to_residues(np, ck.glwe_key, tab), tab)
-    a_ntt = ntt.ntt_fwd(np, ntt.to_residues(np, a, tab), tab)
-    primes = tab.primes.reshape(NUM_PRIMES, 1)
-    prod = ntt._generic_modmul(np, a_ntt, s_ntt[None, :, :, :], primes)
-    # sum over k mask polys (values < p after modmul; reduce the small sum)
-    acc = prod[:, 0]
-    for c in range(1, p.k):
-        acc = ntt.add_mod(np, acc, prod[:, c], primes)
-    body = ntt.garner_to_u32(np, ntt.ntt_inv(np, acc, tab), tab)
+    fwd, body_fn = _keygen_cpu_jit(p.N)
+    s_ntt = fwd(ck.glwe_key)
+    body = body_fn(a, s_ntt)
     body = body + _noise(ck.rng, p.glwe_noise_std, (rows, p.N))
     return np.concatenate([a, body[:, None, :]], axis=1)
 
@@ -68,7 +105,8 @@ def gen_bsk(ck: ClientKey) -> tuple[np.ndarray, np.ndarray]:
         for c in range(kp1):
             raw[:, c, j, c, 0] += ck.lwe_key * w
     raw = raw.reshape(p.n, rows_per, kp1, p.N)
-    bsk_ntt = ntt.ntt_fwd(np, ntt.to_residues(np, raw, tab), tab)
+    fwd, _ = _keygen_cpu_jit(p.N)
+    bsk_ntt = fwd(raw)
     # move prime axis: to_residues gives [..., NP, N] -> already [n,rows,kp1,NP,N]
     primes = tab.primes.reshape(NUM_PRIMES, 1).astype(np.uint64)
     sh = ((bsk_ntt.astype(np.uint64) << 16) // primes).astype(np.uint32)
@@ -139,7 +177,8 @@ def gen_bsk_multibit(ck: ClientKey) -> tuple[np.ndarray, np.ndarray]:
             for c in range(kp1):
                 raw[:, v, c, j, c, 0] += m * w
     raw = raw.reshape(groups, nv, rows_per, kp1, p.N)
-    bsk_ntt = ntt.ntt_fwd(np, ntt.to_residues(np, raw, tab), tab)
+    fwd, _ = _keygen_cpu_jit(p.N)
+    bsk_ntt = fwd(raw)
     primes = tab.primes.reshape(NUM_PRIMES, 1).astype(np.uint64)
     sh = ((bsk_ntt.astype(np.uint64) << 16) // primes).astype(np.uint32)
     return bsk_ntt, sh

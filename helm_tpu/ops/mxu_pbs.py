@@ -974,8 +974,20 @@ def _make_kernel_fs_mb(
         }
 
         # --- pointwise (balanced f32): T_v = sum_r f_r (.) BSK_v[r, c2]
-        #     via 8-bit BSK limbs (2 fma per term, one deferred Barrett);
-        #     result = T_0 + sum_{v>=1} P_v (.) T_v
+        #     via 8-bit BSK limbs (2 fma per term). The subset combination
+        #     T_0 + sum_{v>=1} P_v (.) T_v keeps T_v as the reduced pair
+        #     (tlo, thi) = T_v mod p in base-256 digits and accumulates
+        #     P_v * T_v into three unreduced digit lanes
+        #     D0 + 256*D1 + 2^16*D2 with P_v as 8-bit limb pairs — 4 fma
+        #     per subset instead of a generic modmul — folded mod p once
+        #     per output tile.
+        pv_l = {  # P_v balanced 8-bit limb pairs, shared across c2
+            v: [
+                [_split256(tile) for tile in pv_b[v][pi]]
+                for pi in range(NP)
+            ]
+            for v in range(1, nv)
+        }
         conv_ntt = [[None] * NP for _ in range(kp1)]  # balanced f32 tiles
         for c2 in range(kp1):
             for pi, p in enumerate(PRIMES):
@@ -983,11 +995,16 @@ def _make_kernel_fs_mb(
                 if "noptw" in ablate:
                     conv_ntt[c2][pi] = fwd[0][pi]
                     continue
-                # terms are <= (p//2)*128; cap the unreduced f32 sum at 2^24
-                chunk = (1 << 24) // ((p // 2 + 1) * 128)
+                hp = p // 2
+                # inner r-sum: terms <= hp*128; cap unreduced f32 at 2^24
+                chunk = (1 << 24) // ((hp + 1) * 128)
+                # D lanes: <= hp start, hp*128 per product, and the fold
+                # adds one balanced (<= 1.5p) carry before reducing
+                dchunk = ((1 << 24) - hp - 2 * p) // ((hp + 1) * 128)
                 tiles_out = []
                 for t in range(N1):
-                    s = None
+                    d0 = d1 = d2 = None
+                    n0 = n1 = n2 = 0
                     for v in range(nv):
                         slo = shi = None
                         cnt = 0
@@ -1012,31 +1029,45 @@ def _make_kernel_fs_mb(
                                 shi = _redfbt(shi, p, ip)
                                 cnt = 1
                         if "nored" in ablate:  # perf probe: Barrett cost
-                            tv = slo + shi
+                            tlo, thi = slo, shi
                         else:
-                            shi = _redfbt(shi, p, ip)
-                            tv = _redfbt(
-                                _redfb(slo, p, ip)
-                                + _redfb(256.0 * shi, p, ip),
-                                p, ip,
-                            )
+                            tlo = _redfbt(slo, p, ip)
+                            thi = _redfbt(shi, p, ip)
                         if v == 0:
-                            term = tv
+                            d0, d1 = tlo, thi
                         elif "nogmul" in ablate:
-                            term = pv_b[v][pi][t] + tv
+                            d0 = d0 + tlo
+                            d1 = d1 + thi
                         else:
-                            pvb = pv_b[v][pi][t]
-                            r0, qv = _split256(tv)
-                            u = _redfbt(pvb * qv, p, ip)
-                            term = _redfbt(
-                                pvb * r0 + _redfb(256.0 * u, p, ip),
-                                p, ip,
-                            )
-                        s = term if s is None else s + term
-                    # _redfbt, not _redfb: the inverse matmul's 256-limbs
-                    # must stay <= 128 (bf16-exact on the MXU's single
-                    # f32 pass), which needs strictly |in| <= p//2
-                    tiles_out.append(_redfbt(s, p, ip))
+                            if n1 + 2 > dchunk:
+                                d1 = _redfbt(d1, p, ip)
+                                n1 = 0
+                            if n0 + 1 > dchunk:
+                                d0 = _redfbt(d0, p, ip)
+                                n0 = 0
+                            if d2 is not None and n2 + 1 > dchunk:
+                                d2 = _redfbt(d2, p, ip)
+                                n2 = 0
+                            p0l, p1l = pv_l[v][pi][t]
+                            d0 = d0 + p0l * tlo
+                            d1 = d1 + p1l * tlo + p0l * thi
+                            d2 = p1l * thi if d2 is None else d2 + p1l * thi
+                            n0 += 1
+                            n1 += 2
+                            n2 += 1
+                    # fold D0 + 256*(D1 + 256*D2) mod p -> balanced <= p//2
+                    # (the inverse matmul's 256-limbs must stay <= 128 for
+                    # bf16-exactness on the MXU's single f32 pass)
+                    if d2 is None:
+                        u = _redfbt(d1, p, ip)
+                    else:
+                        u = _redfbt(
+                            d1 + _redfb(256.0 * _redfbt(d2, p, ip), p, ip),
+                            p, ip,
+                        )
+                    tiles_out.append(
+                        _redfbt(d0 + _redfb(256.0 * u, p, ip), p, ip)
+                    )
                 conv_ntt[c2][pi] = tiles_out
 
         # --- inverse NTT per prime (kp1 polys along lanes), then CRT
