@@ -43,6 +43,12 @@ class ArithEngine:
         self.params = params or ARITH_PARAMS
         self.client_key = lwe.keygen(self.params, seed)
         self.dsk = pbs_jnp.DeviceServerKey.from_host(gen_server_key(self.client_key))
+        from .radix import BACKEND
+
+        if BACKEND[0] == "mxu":
+            # precompute the MXU BSK layout so jitted radix ops (e.g. the
+            # propagate loop) don't re-derive it on device every launch
+            self.dsk = self.dsk.with_mxu_keys()
         self.ops = RadixOps(self.params, self.dsk)
         self.plan = None
 

@@ -25,10 +25,11 @@ from ..fhe.server_key import gen_server_key
 from ..params import GATES_PARAMS, LUT_PARAMS, Q, TfheParams
 
 
-@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,))
+@partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(4,))
 def _pbs_level_step(
     backend,
     shard,
+    g_tile,
     dsk,
     wires,
     slot_in,
@@ -63,7 +64,7 @@ def _pbs_level_step(
     elif backend == "mxu":
         from ..ops.mxu_pbs import bootstrap_mxu
 
-        outs = bootstrap_mxu(dsk, pre, testv, interpret=interp)
+        outs = bootstrap_mxu(dsk, pre, testv, g_tile=g_tile, interpret=interp)
     else:
         outs = pbs_jnp.bootstrap(dsk, pre, testv)
     wires = wires.at[slot_dst].set(outs)
@@ -115,6 +116,7 @@ class BooleanEngine:
         params: TfheParams | None = None,
         seed=None,
         backend: str = "jnp",
+        g_tile: int | None = None,
     ):
         assert mode in ("gates", "lut")
         assert backend in ("jnp", "pallas", "mxu")
@@ -123,6 +125,12 @@ class BooleanEngine:
         self.params = params or (GATES_PARAMS if mode == "gates" else LUT_PARAMS)
         self.client_key = lwe.keygen(self.params, seed)
         self.dsk = pbs_jnp.DeviceServerKey.from_host(gen_server_key(self.client_key))
+        self.g_tile = g_tile
+        if backend == "mxu":
+            # lay the BSK out for the MXU kernels ONCE (device-side, jitted);
+            # inside _pbs_level_step the id-keyed layout cache would miss on
+            # tracers and re-run the layout at every level launch
+            self.dsk = self.dsk.with_mxu_keys()
         self.plan: CircuitPlan | None = None
         self._batch_shard = None
         self._repl_shard = None
@@ -241,6 +249,7 @@ class BooleanEngine:
                 wires = _pbs_level_step(
                     self.backend,
                     self._batch_shard,
+                    self.g_tile,
                     self.dsk,
                     wires,
                     lp["slot_in"],

@@ -57,6 +57,14 @@ class RadixTestPolys:
         # shr helper: 2 * (x % 2) to splice a low bit into the block above
         self.lobit2 = tv(lambda m: 2 * (m % 2))
         self.half = tv(lambda m: (m % 4) // 2)
+        # log-depth carry propagation (Hillis-Steele over carry status):
+        # status of a raw block sum s<=7: 2=generate (s>=4), 1=propagate
+        # (s==3, carries a carry-in through), 0=kill
+        self.status = tv(lambda m: np.where(m >= 4, 2, np.where(m == 3, 1, 0)))
+        # combine(newer=idx>>2, older=idx&3): newer==1 ? older : newer
+        self.cmb = tv(lambda m: np.where((m >> 2) == 1, m & 3, m >> 2))
+        # final message from idx = 2*s + carry_in
+        self.msgc = tv(lambda m: ((m >> 1) + (m & 1)) % 4)
 
 
 _bootstrap_jit = jax.jit(pbs_jnp.bootstrap)
@@ -109,35 +117,68 @@ def trivial_blocks(params: TfheParams, value: int, nb: int, batch: int) -> jnp.n
 
 @partial(jax.jit, static_argnames=("with_carry",))
 def _propagate(dsk, tp: RadixTestPolys, z, with_carry=False):
-    """Carry-propagate blocks (values <= 15) -> clean blocks (+ carry-out).
+    """Carry-propagate blocks -> clean blocks (+ carry-out).
 
-    z: [B, nb, n+1]. Each round is one batched (msg, carry) launch.
+    z: [B, nb, n+1]. Invariant at every call site: block sums <= 6 for
+    blocks >= 1 and <= 7 at block 0 (carry-in 0 there), so every running
+    carry is 0/1. nb >= 8 uses log-depth carry-lookahead (Hillis-Steele
+    scan over encrypted generate/propagate status, ceil(log2 nb)+3
+    launches); smaller widths ripple sequentially (nb launches).
     """
     n1 = z.shape[-1]
     B, nb = z.shape[0], z.shape[1]
-    c = jnp.zeros((B, n1), jnp.uint32)
-    outs = []
-    for i in range(nb):
-        t = z[:, i] + c
-        m, c = _bootstrap_multi(dsk, [t, t], [tp.msg, tp.carry])
-        outs.append(m)
-    res = jnp.stack(outs, axis=1)
-    return (res, c) if with_carry else res
+    if nb < 8:
+        c = jnp.zeros((B, n1), jnp.uint32)
+        outs = []
+        for i in range(nb):
+            t = z[:, i] + c
+            m, c = _bootstrap_multi(dsk, [t, t], [tp.msg, tp.carry])
+            outs.append(m)
+        res = jnp.stack(outs, axis=1)
+        return (res, c) if with_carry else res
+    flat = z.reshape(B * nb, n1)
+    (a,) = _bootstrap_multi(dsk, [flat], [tp.status])
+    a = a.reshape(B, nb, n1)
+    o = 1
+    while o < nb:
+        # inclusive scan: a[i] <- combine(a[i] over a[i-o])
+        pre = 4 * a[:, o:] + a[:, :-o]
+        (upd,) = _bootstrap_multi(
+            dsk, [pre.reshape(B * (nb - o), n1)], [tp.cmb]
+        )
+        a = jnp.concatenate([a[:, :o], upd.reshape(B, nb - o, n1)], axis=1)
+        o *= 2
+    # carry into block i (i>=1) = (prefix status of blocks 0..i-1) == 2
+    hi = nb if with_carry else nb - 1
+    (cs,) = _bootstrap_multi(
+        dsk, [a[:, :hi].reshape(B * hi, n1)], [tp.half]
+    )
+    cs = cs.reshape(B, hi, n1)
+    cin = jnp.concatenate(
+        [jnp.zeros((B, 1, n1), jnp.uint32), cs[:, : nb - 1]], axis=1
+    )
+    pre = (2 * z + cin).reshape(B * nb, n1)
+    (m,) = _bootstrap_multi(dsk, [pre], [tp.msgc])
+    res = m.reshape(B, nb, n1)
+    return (res, cs[:, nb - 1]) if with_carry else res
 
+
+_RTP_FIELDS = (
+    "msg", "carry", "mul_lo", "mul_hi", "lobit", "hibit", "lobit2", "half",
+    "status", "cmb", "msgc",
+)
 
 jax.tree_util.register_pytree_node(
     RadixTestPolys,
-    lambda t: (
-        (t.msg, t.carry, t.mul_lo, t.mul_hi, t.lobit, t.hibit, t.lobit2, t.half),
-        None,
-    ),
+    lambda t: (tuple(getattr(t, f) for f in _RTP_FIELDS), None),
     lambda _, ch: _rtp_unflatten(ch),
 )
 
 
 def _rtp_unflatten(ch):
     t = object.__new__(RadixTestPolys)
-    (t.msg, t.carry, t.mul_lo, t.mul_hi, t.lobit, t.hibit, t.lobit2, t.half) = ch
+    for f, v in zip(_RTP_FIELDS, ch):
+        setattr(t, f, v)
     return t
 
 
@@ -267,7 +308,13 @@ class RadixOps:
         for i in range(nb):
             blk = qbits[2 * i] + 2 * qbits[2 * i + 1]
             blocks.append(blk)
-        return _propagate(self.dsk, self.tp, jnp.stack(blocks, axis=1))
+        # quotient blocks are already clean (two 0/1 bits, <= 3): one
+        # batched refresh launch, no carry propagation needed
+        q = jnp.stack(blocks, axis=1)
+        (m,) = _bootstrap_multi(
+            self.dsk, [q.reshape(B * nb, p.n + 1)], [self.tp.msg]
+        )
+        return m.reshape(B, nb, p.n + 1)
 
     # -- shifts --------------------------------------------------------
     def shift_plain(self, x, amount: int, left: bool):

@@ -43,6 +43,10 @@ class DeviceServerKey:
     bsk_ntt: jax.Array  # u32 [n, rows, k+1, NP, N]
     bsk_ntt_sh: jax.Array
     ksk_limbs: jax.Array  # i8 [4, big_n*ks_level, n+1]
+    #: optional MXU-layout BSK pair (ops.mxu_pbs.mxu_server_key[_fs]); part
+    #: of the pytree so jitted callers see the precomputed layout instead of
+    #: re-deriving it from bsk_ntt on device at every launch
+    mxu_keys: tuple = None
 
     @staticmethod
     def from_host(sk: ServerKey) -> "DeviceServerKey":
@@ -54,10 +58,27 @@ class DeviceServerKey:
             ksk_limbs=jnp.asarray(sk.ksk_limbs),
         )
 
+    def with_mxu_keys(self) -> "DeviceServerKey":
+        """Attach the MXU kernel's BSK layout (computed once, device-side)."""
+        from ..ops import mxu_pbs
+
+        keys = (
+            mxu_pbs.mxu_server_key_fs(self)
+            if self.params.grouping > 1
+            else mxu_pbs.mxu_server_key(self)
+        )
+        return DeviceServerKey(
+            self.params, self.tab, self.bsk_ntt, self.bsk_ntt_sh,
+            self.ksk_limbs, keys,
+        )
+
 
 jax.tree_util.register_pytree_node(
     DeviceServerKey,
-    lambda k: ((k.bsk_ntt, k.bsk_ntt_sh, k.ksk_limbs), (k.params, k.tab)),
+    lambda k: (
+        (k.bsk_ntt, k.bsk_ntt_sh, k.ksk_limbs, k.mxu_keys),
+        (k.params, k.tab),
+    ),
     lambda aux, ch: DeviceServerKey(aux[0], aux[1], *ch),
 )
 

@@ -989,7 +989,85 @@ def _make_kernel_fs_mb(
             for v in range(1, nv)
         }
         conv_ntt = [[None] * NP for _ in range(kp1)]  # balanced f32 tiles
-        for c2 in range(kp1):
+        if "c2out" not in ablate and "noptw" not in ablate:
+            # default: c2 innermost so each fwd tile read feeds all kp1
+            # accumulators while operand-resident (halves f traffic;
+            # measured +3.6% over c2-outer at gt=256; the perf probes
+            # noptw/nobsk/nored/nogmul are only plumbed in the c2out form)
+            for pi, p in enumerate(PRIMES):
+                ip = INV_P[pi]
+                hp = p // 2
+                chunk = (1 << 24) // ((hp + 1) * 128)
+                dchunk = ((1 << 24) - hp - 2 * p) // ((hp + 1) * 128)
+                for c2 in range(kp1):
+                    conv_ntt[c2][pi] = [None] * N1
+                for t in range(N1):
+                    D = [[None, None, None] for _ in range(kp1)]
+                    Nc = [[0, 0, 0] for _ in range(kp1)]
+                    for v in range(nv):
+                        S = [[None, None] for _ in range(kp1)]
+                        cnt = 0
+                        for r in range(rows_tot):
+                            f = fwd[r][pi][t]
+                            for c2 in range(kp1):
+                                cidx = (
+                                    ((v * rows_tot + r) * kp1 + c2) * NP
+                                    + pi
+                                ) * N1 + t
+                                plo = f * col(bsklo_ref[0], cidx)
+                                phi = f * col(bskhi_ref[0], cidx)
+                                if S[c2][0] is None:
+                                    S[c2][0], S[c2][1] = plo, phi
+                                else:
+                                    S[c2][0] = S[c2][0] + plo
+                                    S[c2][1] = S[c2][1] + phi
+                            cnt += 1
+                            if cnt == chunk and r + 1 < rows_tot:
+                                for c2 in range(kp1):
+                                    S[c2][0] = _redfbt(S[c2][0], p, ip)
+                                    S[c2][1] = _redfbt(S[c2][1], p, ip)
+                                cnt = 1
+                        for c2 in range(kp1):
+                            tlo = _redfbt(S[c2][0], p, ip)
+                            thi = _redfbt(S[c2][1], p, ip)
+                            d, nn = D[c2], Nc[c2]
+                            if v == 0:
+                                d[0], d[1] = tlo, thi
+                            else:
+                                if nn[1] + 2 > dchunk:
+                                    d[1] = _redfbt(d[1], p, ip)
+                                    nn[1] = 0
+                                if nn[0] + 1 > dchunk:
+                                    d[0] = _redfbt(d[0], p, ip)
+                                    nn[0] = 0
+                                if d[2] is not None and nn[2] + 1 > dchunk:
+                                    d[2] = _redfbt(d[2], p, ip)
+                                    nn[2] = 0
+                                p0l, p1l = pv_l[v][pi][t]
+                                d[0] = d[0] + p0l * tlo
+                                d[1] = d[1] + p1l * tlo + p0l * thi
+                                d[2] = (
+                                    p1l * thi
+                                    if d[2] is None
+                                    else d[2] + p1l * thi
+                                )
+                                nn[0] += 1
+                                nn[1] += 2
+                                nn[2] += 1
+                    for c2 in range(kp1):
+                        d0, d1, d2 = D[c2]
+                        if d2 is None:
+                            u = _redfbt(d1, p, ip)
+                        else:
+                            u = _redfbt(
+                                d1
+                                + _redfb(256.0 * _redfbt(d2, p, ip), p, ip),
+                                p, ip,
+                            )
+                        conv_ntt[c2][pi][t] = _redfbt(
+                            d0 + _redfb(256.0 * u, p, ip), p, ip
+                        )
+        for c2 in range(kp1 if "c2out" in ablate or "noptw" in ablate else 0):
             for pi, p in enumerate(PRIMES):
                 ip = INV_P[pi]
                 if "noptw" in ablate:
@@ -1125,6 +1203,7 @@ def mxu_server_key(dsk):
         N = dsk.bsk_ntt.shape[-1]
         N2 = N // N1
 
+        @jax.jit
         def conv(b):
             # [.., N] --perm--> mxu flat (fA*N2 + fB) -> [.., fA, fB] -> [.., fB, fA]
             # (leading dims: [n, rows, kp1, NP] single-bit or
@@ -1642,7 +1721,12 @@ def blind_rotate_fs_mb(
 
 
 def bootstrap_mxu(
-    dsk, lwe_in, testv, g_tile: int | None = None, interpret: bool = False
+    dsk,
+    lwe_in,
+    testv,
+    g_tile: int | None = None,
+    interpret: bool = False,
+    keys=None,
 ):
     """Full PBS with the MXU blind rotation; bit-identical to pbs_jnp.
 
@@ -1650,17 +1734,24 @@ def bootstrap_mxu(
     per tile, default 32); grouping > 1 uses the frequency-in-sublanes
     multi-bit kernel (g_tile = gates per tile, default 256 — two vregs of
     lanes; measured fastest and removes the BSK lane-expansion entirely).
+
+    `keys` (from mxu_server_key / mxu_server_key_fs) must be precomputed
+    and passed in when this is called inside a jit: the id()-keyed layout
+    cache cannot see through tracers, so omitting it would re-lay-out the
+    whole BSK on device at every launch.
     """
     from ..fhe import ops as fops
     from ..fhe.pbs_jnp import keyswitch
 
+    if keys is None:
+        keys = dsk.mxu_keys
     if dsk.params.grouping > 1:
-        bsk_a, bsk_b = mxu_server_key_fs(dsk)
+        bsk_a, bsk_b = keys if keys is not None else mxu_server_key_fs(dsk)
         rotate = blind_rotate_fs_mb
         if g_tile is None:
             g_tile = 8 if interpret else 256
     else:
-        bsk_a, bsk_b = mxu_server_key(dsk)
+        bsk_a, bsk_b = keys if keys is not None else mxu_server_key(dsk)
         rotate = blind_rotate_mxu
         if g_tile is None:
             g_tile = 4 if interpret else 32

@@ -9,9 +9,14 @@ from helm_tpu.engines.boolean import BooleanEngine
 
 pset = getattr(P, os.environ.get("PSET", "GATES_TPU"))
 path = os.environ.get("NETLIST", "benchmarks/netlists/c880-like.v")
+backend = os.environ.get("BACKEND", "jnp")
+gt_env = os.environ.get("GT", "")
 nl = read_verilog_file(path)
 t0 = time.time()
-e = BooleanEngine(mode="gates", params=pset, seed=88)
+e = BooleanEngine(
+    mode="gates", params=pset, seed=88, backend=backend,
+    g_tile=int(gt_env) if gt_env else None,
+)
 print(f"KeyGen {time.time()-t0:.1f}s", flush=True)
 e.compile(nl)
 rng = np.random.default_rng(7)
@@ -27,7 +32,11 @@ t0 = time.time()
 wires2 = e.evaluate(wires2)
 _ = np.asarray(wires2)
 dt = time.time() - t0
-print(f"{path} steady-state encrypted eval: {dt:.3f}s ({pset.name})", flush=True)
+print(
+    f"{path} steady-state encrypted eval: {dt:.3f}s "
+    f"({pset.name}, backend={backend})",
+    flush=True,
+)
 # correctness
 c = Circuit.from_netlist(read_verilog_file(path))
 exp = c.evaluate(c.initialize_wire_map(nl.wire_set, inputs))

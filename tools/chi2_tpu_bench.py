@@ -7,6 +7,10 @@ from helm_tpu.circuit.verilog import read_verilog_file
 from helm_tpu.circuit.graph import Circuit
 from helm_tpu.engines.arith import ArithEngine
 
+if os.environ.get("BACKEND", "jnp") == "mxu":
+    from helm_tpu.engines import radix
+
+    radix.BACKEND[0] = "mxu"
 nl = read_verilog_file("benchmarks/netlists/chi_squared_arith.v", True)
 t0 = time.time()
 e = ArithEngine("u32", seed=11)  # production ARITH_PARAMS
