@@ -97,6 +97,12 @@ def build_argparser() -> argparse.ArgumentParser:
         metavar="N",
         help="shard gate batches across N devices (0 = single device)",
     )
+    ap.add_argument(
+        "--fuse-levels",
+        action="store_true",
+        help="evaluate all levels in one jitted lax.scan launch (latency "
+        "mode for narrow/deep circuits; gates and LUT modes)",
+    )
     return ap
 
 
@@ -151,7 +157,11 @@ def _run_boolean(args, netlist) -> int:
     if args.mesh and args.backend != "jnp":
         raise SystemExit("--mesh requires --backend jnp (shardable PBS)")
     engine = BooleanEngine(
-        mode=mode, params=params, seed=args.seed, backend=args.backend
+        mode=mode,
+        params=params,
+        seed=args.seed,
+        backend=args.backend,
+        fuse_levels=args.fuse_levels,
     )
     print(f"KeyGen done in {time.time() - start} seconds.")
     if args.mesh:

@@ -25,8 +25,7 @@ from ..fhe.server_key import gen_server_key
 from ..params import GATES_PARAMS, LUT_PARAMS, Q, TfheParams
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(4,))
-def _pbs_level_step(
+def _level_body(
     backend,
     shard,
     g_tile,
@@ -76,6 +75,53 @@ def _pbs_level_step(
     return wires.at[lin_dst].set(lv)
 
 
+_pbs_level_step = partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(4,))(
+    _level_body
+)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(4,))
+def _scan_eval_step(backend, shard, g_tile, dsk, wires, levels, testv_base):
+    """All levels in ONE jitted lax.scan (latency mode): every level is
+    padded to the same slot/mux/lin widths so a single compiled PBS kernel
+    is reused for the whole circuit — one dispatch, one Mosaic compile,
+    no host gaps between levels.
+
+    levels: dict of stacked arrays, leading axis = number of levels.
+    testv_base: [1, N] gates test poly, or the [T, N] LUT test-poly bank
+    (levels then carries a per-slot "testv_sel").
+    """
+
+    def body(w, lv):
+        tv = (
+            testv_base[lv["testv_sel"]]
+            if "testv_sel" in lv
+            else testv_base
+        )
+        w = _level_body(
+            backend,
+            shard,
+            g_tile,
+            dsk,
+            w,
+            lv["slot_in"],
+            lv["slot_coef"],
+            lv["slot_off"],
+            lv["slot_dst"],
+            tv,
+            lv["mux_pairs"],
+            lv["mux_dst"],
+            lv["lin_src"],
+            lv["lin_coef"],
+            lv["lin_off"],
+            lv["lin_dst"],
+        )
+        return w, None
+
+    wires, _ = jax.lax.scan(body, wires, levels)
+    return wires
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _lin_level_step(wires, lin_src, lin_coef, lin_off, lin_dst):
     n1 = wires.shape[1] - 1
@@ -117,9 +163,11 @@ class BooleanEngine:
         seed=None,
         backend: str = "jnp",
         g_tile: int | None = None,
+        fuse_levels: bool = False,
     ):
         assert mode in ("gates", "lut")
         assert backend in ("jnp", "pallas", "mxu")
+        self.fuse_levels = fuse_levels
         self.backend = backend
         self.mode = mode
         self.params = params or (GATES_PARAMS if mode == "gates" else LUT_PARAMS)
@@ -195,6 +243,39 @@ class BooleanEngine:
             }
             for lp in self.plan.levels
         ]
+        self._scan_levels = self._stack_levels() if self.fuse_levels else None
+
+    def _stack_levels(self):
+        """Pad every level to uniform widths and stack for lax.scan."""
+        lps = self.plan.levels
+        trash = self.plan.num_wires - 1
+        S = max(max(lp.slot_in.shape[0] for lp in lps), self._min_slots, 1)
+        M = max(max(lp.mux_pairs.shape[0] for lp in lps), 1)
+        L = max(max(lp.lin_src.shape[0] for lp in lps), 1)
+
+        def pad(a, n, fill):
+            if a.shape[0] == n:
+                return a
+            extra = np.full((n - a.shape[0],) + a.shape[1:], fill, a.dtype)
+            return np.concatenate([a, extra], axis=0)
+
+        stk = {
+            "slot_in": np.stack([pad(lp.slot_in, S, 0) for lp in lps]),
+            "slot_coef": np.stack([pad(lp.slot_coef, S, 0) for lp in lps]),
+            "slot_off": np.stack([pad(lp.slot_off, S, 0) for lp in lps]),
+            "slot_dst": np.stack([pad(lp.slot_dst, S, trash) for lp in lps]),
+            "mux_pairs": np.stack([pad(lp.mux_pairs, M, 0) for lp in lps]),
+            "mux_dst": np.stack([pad(lp.mux_dst, M, trash) for lp in lps]),
+            "lin_src": np.stack([pad(lp.lin_src, L, 0) for lp in lps]),
+            "lin_coef": np.stack([pad(lp.lin_coef, L, 0) for lp in lps]),
+            "lin_off": np.stack([pad(lp.lin_off, L, 0) for lp in lps]),
+            "lin_dst": np.stack([pad(lp.lin_dst, L, trash) for lp in lps]),
+        }
+        if self.mode == "lut":
+            stk["testv_sel"] = np.stack(
+                [pad(lp.testv_sel, S, 0) for lp in lps]
+            )
+        return {k: jnp.asarray(v) for k, v in stk.items()}
 
     # -- client role ---------------------------------------------------
     def _encode(self, v) -> np.ndarray:
@@ -235,6 +316,25 @@ class BooleanEngine:
     # -- evaluation ----------------------------------------------------
     def evaluate(self, wires: jax.Array, verbose: bool = False) -> jax.Array:
         assert self.plan is not None
+        if self._scan_levels is not None:
+            testv = (
+                self._testv_bank if self.mode == "lut" else self._testv_gates
+            )
+            wires = _scan_eval_step(
+                self.backend,
+                self._batch_shard,
+                self.g_tile,
+                self.dsk,
+                wires,
+                self._scan_levels,
+                testv,
+            )
+            if verbose:
+                print(
+                    f"  Evaluated all {len(self.plan.levels)} levels in one"
+                    " fused scan launch"
+                )
+            return wires
         total = len(self._dev_levels)
         for i, lp in enumerate(self._dev_levels):
             if lp["slot_in"].shape[0] == 0:

@@ -83,10 +83,21 @@ class TfheParams:
         (k+1) * l * N * (B^2/12) * sigma_bsk^2 from the gadget products plus
         the decomposition-rounding tail (q/B^l rounding error times the
         secret), for binary secrets.
+
+        Multi-bit (grouping g > 1): n/g steps; each step's effective GGSW is
+        sum_v P_v (.) BSK_v over the 2^g-1 nonempty subsets, P_v =
+        prod_{i in v}(X^{a_i}-1) with squared 2-norm 2^|v|, so the per-step
+        gadget variance is scaled by sum_j C(g,j) 2^j = 3^g - 1 (normalized
+        to the g=1 form, whose single (X^a-1) carries the factor 2 already):
+        total multiplier (3^g - 1) / (2g) vs single-bit. The rounding tail
+        is one acc decomposition per step, so it shrinks by g.
         """
         b2 = float(self.pbs_base) ** 2
+        g = self.grouping
+        mb_scale = (3.0**g - 1.0) / (2.0 * g)
         main = (
             self.n
+            * mb_scale
             * (self.k + 1)
             * self.pbs_level
             * self.N
@@ -94,7 +105,7 @@ class TfheParams:
             * (self.glwe_noise_std**2)
         )
         eps = float(Q) / (float(self.pbs_base) ** self.pbs_level)
-        tail = self.n * (1.0 + self.k * self.N) * (eps**2) / 24.0
+        tail = (self.n / g) * (1.0 + self.k * self.N) * (eps**2) / 24.0
         return main + tail
 
     def var_ks(self) -> float:
@@ -313,6 +324,27 @@ GATES_TPU_MB2 = TfheParams(
     grouping=2,
 )
 
+#: Grouping-4 gates set: n/4 = 128 blind-rotation steps (2x fewer than MB2,
+#: 4x fewer than single-bit) — the latency set for narrow circuits, where
+#: per-level time is step-count-bound. The (3^g-1)/(2g) = 10x grouped noise
+#: multiplier needs the narrower base 2^10 (still level 2): per-PBS failure
+#: ~2^-49 at XOR linear growth under the grouping-aware model above.
+GATES_TPU_MB4 = TfheParams(
+    name="gates_tpu_mb4",
+    n=512,
+    k=1,
+    N=1024,
+    pbs_base_log=10,
+    pbs_level=2,
+    ks_base_log=2,
+    ks_level=8,
+    lwe_noise_std=128.0,
+    glwe_noise_std=8.0,
+    msg_space_log=3,
+    message_bits=1,
+    grouping=4,
+)
+
 TEST_PARAMS_MB = TfheParams(
     name="test_tiny_mb2",
     n=16,
@@ -329,6 +361,22 @@ TEST_PARAMS_MB = TfheParams(
     grouping=2,
 )
 
+TEST_PARAMS_MB4 = TfheParams(
+    name="test_tiny_mb4",
+    n=16,
+    k=1,
+    N=64,
+    pbs_base_log=8,
+    pbs_level=2,
+    ks_base_log=4,
+    ks_level=4,
+    lwe_noise_std=0.0,
+    glwe_noise_std=0.0,
+    msg_space_log=3,
+    message_bits=1,
+    grouping=4,
+)
+
 ALL_PARAMS = {
     p.name: p
     for p in (
@@ -342,6 +390,7 @@ ALL_PARAMS = {
         GATES_TPU,
         GATES_MB2,
         GATES_TPU_MB2,
+        GATES_TPU_MB4,
         TEST_PARAMS_MB,
     )
 }

@@ -369,3 +369,51 @@ def test_radix_mxu_backend_add_mul():
     for i in range(len(xs)):
         assert e._decrypt_value(np.asarray(add[i])) == (xs[i] + ys[i]) % 256
         assert e._decrypt_value(np.asarray(mul[i])) == (xs[i] * ys[i]) % 256
+
+
+def test_fused_scan_evaluation_gates_and_lut():
+    """fuse_levels=True (whole circuit as one lax.scan launch) matches the
+    oracle in both modes, including a sequential circuit over cycles."""
+    nl = read_verilog_file("benchmarks/netlists/2-bit-adder.v")
+    inputs = csv_io.read_input_wires(
+        "benchmarks/test-cases/2-bit-adder.inputs.csv", "bool"
+    )
+    exp = _oracle(nl, inputs)
+    e = BooleanEngine(
+        mode="gates", params=P.TEST_PARAMS, seed=21, fuse_levels=True
+    )
+    e.compile(nl)
+    got = e.decrypt_all_wires(e.evaluate(e.encrypt_inputs(inputs)))
+    for w, v in exp.items():
+        assert got[w] == v, w
+
+    nl2 = read_verilog_file("benchmarks/netlists/8-bit-adder-lut-3-1.v")
+    rng = np.random.default_rng(17)
+    inputs2 = {w: bool(rng.integers(0, 2)) for w in nl2.inputs}
+    c2 = Circuit.from_netlist(nl2)
+    exp2 = c2.evaluate(c2.initialize_wire_map(nl2.wire_set, inputs2))
+    e2 = BooleanEngine(
+        mode="lut", params=P.TEST_PARAMS_LUT, seed=22, fuse_levels=True
+    )
+    e2.compile(nl2)
+    got2 = e2.decrypt_outputs(e2.evaluate(e2.encrypt_inputs(inputs2)))
+    for w in got2:
+        assert got2[w] == int(exp2[w]), w
+
+
+def test_fused_scan_sequential_s27():
+    nl = read_verilog_file("benchmarks/netlists/s27.v")
+    inputs = {w: bool(i % 2) for i, w in enumerate(sorted(nl.inputs))}
+    e = BooleanEngine(
+        mode="gates", params=P.TEST_PARAMS, seed=23, fuse_levels=True
+    )
+    e.compile(nl)
+    wires = e.encrypt_inputs(inputs)
+    c = Circuit.from_netlist(nl)
+    wm = c.initialize_wire_map(nl.wire_set, inputs)
+    for _ in range(3):
+        wires = e.evaluate(wires)
+        wm = c.evaluate(wm)
+    got = e.decrypt_outputs(wires)
+    for w in got:
+        assert got[w] == bool(wm[w]), w

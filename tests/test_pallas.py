@@ -110,9 +110,11 @@ def test_mxu_bootstrap_truth_table(keys):
     assert got == [a and b for a, b in combos]
 
 
-@pytest.fixture(scope="module")
-def keys_mb():
-    p = P.TEST_PARAMS_MB
+@pytest.fixture(
+    scope="module", params=["mb2", "mb4"]
+)
+def keys_mb(request):
+    p = P.TEST_PARAMS_MB if request.param == "mb2" else P.TEST_PARAMS_MB4
     ck = lwe.keygen(p, seed=31)
     dsk = pbs_jnp.DeviceServerKey.from_host(server_key.gen_server_key(ck))
     return p, ck, dsk
