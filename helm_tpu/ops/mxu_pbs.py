@@ -853,12 +853,8 @@ def _make_kernel_fs_mb(
     def kernel(
         acc0_ref,  # [kp1, N1, N2, G]
         abar_ref,  # [1, n, G] int32
-        tw_ref,  # [N2, NP*N1] twist, col = pi*N1 + fA
-        tw_sh_ref,
-        twi_ref,
-        twi_sh_ref,
-        w2t_ref,  # [NP, 2, N2, N2]
-        w2ti_ref,
+        w2f_ref,  # [NP, N1, 2, N2, N2] fwd matmul with twist folded in
+        w2fi_ref,  # [NP, N1, 2, N2, N2] inv matmul with twist folded in
         mono_ref,  # [N2, L2N*NP*N1], col = (b*NP + pi)*N1 + fA
         mono_sh_ref,
         bsklo_ref,  # f32 [1, N2, nv*rows*kp1*NP*N1] balanced 8-bit limbs
@@ -951,15 +947,9 @@ def _make_kernel_fs_mb(
                 xs.append(stacked)
             xs = _fs_fwd8(xs, STW, pi, p)
             for t in range(N1):
-                tc = pi * N1 + t
-                v = _mshoup(
-                    xs[t],
-                    col(tw_ref, tc, rows_tot * G),
-                    col(tw_sh_ref, tc, rows_tot * G),
-                    p,
-                )
                 f = _lane128_matmul_fwd_bal(
-                    v, w2t_ref[pi, 0], w2t_ref[pi, 1], p, INV_P[pi]
+                    xs[t], w2f_ref[pi, t, 0], w2f_ref[pi, t, 1], p,
+                    INV_P[pi],
                 )
                 for r in range(rows_tot):
                     fwd[r][pi][t] = f[:, r * G : (r + 1) * G]
@@ -1156,16 +1146,10 @@ def _make_kernel_fs_mb(
                 stacked = jnp.concatenate(
                     [conv_ntt[c][pi][t] for c in range(kp1)], axis=1
                 )  # [N2, kp1*G] balanced f32
-                v = _lane128_matmul_inv_bal(
-                    stacked, w2ti_ref[pi, 0], w2ti_ref[pi, 1], p, INV_P[pi]
-                )
-                tc = pi * N1 + t
                 xs.append(
-                    _mshoup(
-                        v,
-                        col(twi_ref, tc, kp1 * G),
-                        col(twi_sh_ref, tc, kp1 * G),
-                        p,
+                    _lane128_matmul_inv_bal(
+                        stacked, w2fi_ref[pi, t, 0], w2fi_ref[pi, t, 1],
+                        p, INV_P[pi],
                     )
                 )
             inv_res.append(_fs_inv8(xs, ISTW, pi, p))
@@ -1559,12 +1543,22 @@ def _fs_tables(N: int):
 
     tw/twi: [N2, NP*N1] (col = pi*N1 + fA); mono: [N2, L2N*NP*N1]
     (col = (b*NP + pi)*N1 + fA). Tiny: ~180 KB each at N=1024.
+
+    w2f/w2fi: the 128-point matmul matrices with the twists FOLDED IN as
+    f32 balanced 8-bit limb pairs, [NP, N1, 2, N2, N2]. The forward twist
+    is a diagonal applied before the matmul (W.T @ diag(tw) scales W.T's
+    columns); the inverse twist is applied after (diag(twi) @ Wi.T scales
+    rows) — folding both removes every twist Shoup chain from the kernel.
+    Entry bound: fused values mod p balance to |.| <= p//2 <= 2^15, so the
+    limb pairs stay |.| <= 128 (bf16-exact on the MXU's single f32 pass).
     """
     from ..fhe.pbs_jnp import monomial_tables
 
     t = mxu_ntt.mxu_tables(N)
     perm = np.asarray(t["perm_from_std"])
     N2 = N // N1
+    primes = t["primes"]
+    NP = len(primes)
 
     def twc(m):  # [NP, N1(jA), N2(jB)] -> [N2, NP*N1]
         return np.ascontiguousarray(
@@ -1580,6 +1574,32 @@ def _fs_tables(N: int):
             np.transpose(x, (3, 0, 1, 2)).reshape(N2, -1)
         )
 
+    w2 = (
+        t["w2_limbs"][:, 0].astype(np.int64)
+        + 256 * t["w2_limbs"][:, 1].astype(np.int64)
+    )  # [NP, jb, fb] balanced
+    w2i = (
+        t["w2i_limbs"][:, 0].astype(np.int64)
+        + 256 * t["w2i_limbs"][:, 1].astype(np.int64)
+    )
+    w2f = np.zeros((NP, N1, 2, N2, N2), np.float32)
+    w2fi = np.zeros((NP, N1, 2, N2, N2), np.float32)
+    for pi, p in enumerate(primes):
+        for fa in range(N1):
+            # fwd: out[fb, l] = sum_jb (w2[jb, fb] * tw[jb]) * x[jb, l]
+            f = (w2[pi].T * t["tw"][pi, fa].astype(np.int64)[None, :]) % p
+            # inv: out[jb, l] = twi[jb] * sum_fb w2i[fb, jb] * x[fb, l]
+            fi = (
+                w2i[pi].T * t["twi"][pi, fa].astype(np.int64)[:, None]
+            ) % p
+            for m, dst in ((f, w2f), (fi, w2fi)):
+                b = np.where(m > p // 2, m - p, m)
+                hi = np.round(b / 256.0)
+                lo = b - 256.0 * hi
+                assert np.abs(lo).max() <= 128 and np.abs(hi).max() <= 128
+                dst[pi, fa, 0] = lo
+                dst[pi, fa, 1] = hi
+
     return {
         "tw": twc(t["tw"]),
         "tw_sh": twc(t["tw_sh"]),
@@ -1587,6 +1607,8 @@ def _fs_tables(N: int):
         "twi_sh": twc(t["twi_sh"]),
         "mono": mx(mono),
         "mono_sh": mx(mono_sh),
+        "w2f": w2f,
+        "w2fi": w2fi,
     }
 
 
@@ -1633,7 +1655,6 @@ def blind_rotate_fs_mb(
     Gp = lwe_in.shape[0]
     tiles = Gp // g_tile
 
-    t = mxu_ntt.mxu_tables(N)
     fst = _fs_tables(N)
     abar = fops.mod_switch(jnp, lwe_in[:, :n], N).astype(jnp.int32)
     bbar = fops.mod_switch(jnp, lwe_in[:, n], N)
@@ -1646,13 +1667,6 @@ def blind_rotate_fs_mb(
         [jnp.zeros((tiles, k, N1, N2, g_tile), jnp.uint32), body], axis=1
     )
     abar_t = jnp.transpose(abar.reshape(tiles, g_tile, n), (0, 2, 1))
-
-    w2t = jnp.transpose(
-        jnp.asarray(t["w2_limbs"], dtype=jnp.float32), (0, 1, 3, 2)
-    )
-    w2ti = jnp.transpose(
-        jnp.asarray(t["w2i_limbs"], dtype=jnp.float32), (0, 1, 3, 2)
-    )
 
     kernel = _make_kernel_fs_mb(
         params, g_tile, frozenset(ablate.split(",")) - {""}
@@ -1674,12 +1688,8 @@ def blind_rotate_fs_mb(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((1, n, g_tile), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            cmap((N2, NP * N1)),
-            cmap((N2, NP * N1)),
-            cmap((N2, NP * N1)),
-            cmap((N2, NP * N1)),
-            cmap((NP, 2, N2, N2)),
-            cmap((NP, 2, N2, N2)),
+            cmap((NP, N1, 2, N2, N2)),
+            cmap((NP, N1, 2, N2, N2)),
             cmap((N2, L2N * NP * N1)),
             cmap((N2, L2N * NP * N1)),
             pl.BlockSpec(
@@ -1704,12 +1714,8 @@ def blind_rotate_fs_mb(
     )(
         acc0,
         abar_t,
-        jnp.asarray(fst["tw"]),
-        jnp.asarray(fst["tw_sh"]),
-        jnp.asarray(fst["twi"]),
-        jnp.asarray(fst["twi_sh"]),
-        w2t,
-        w2ti,
+        jnp.asarray(fst["w2f"]),
+        jnp.asarray(fst["w2fi"]),
         jnp.asarray(fst["mono"]),
         jnp.asarray(fst["mono_sh"]),
         bsk_lo,
