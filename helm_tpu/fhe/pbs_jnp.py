@@ -63,7 +63,7 @@ class DeviceServerKey:
         from ..ops import mxu_pbs
 
         keys = (
-            mxu_pbs.mxu_server_key_fs(self)
+            (mxu_pbs.mxu_server_key_fs(self),)
             if self.params.grouping > 1
             else mxu_pbs.mxu_server_key(self)
         )

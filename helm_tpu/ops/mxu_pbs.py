@@ -777,6 +777,15 @@ def _fs_fwd8(xs, stw, pi: int, p: int):
     return xs
 
 
+def _fgmul(a, b, p: int, ip: float):
+    """Balanced-f32 modmul: |a|,|b| <= p//2 + 1 -> balanced |out| <= p//2.
+
+    Splits a into 8-bit limbs so every partial product stays exactly
+    representable: |a0*b| <= 128*(p//2+1) < 2^24, |a1*b| likewise."""
+    a0, a1 = _split256(a)
+    return _redfbt(a0 * b + 256.0 * _redfbt(a1 * b, p, ip), p, ip)
+
+
 def _fs_inv8(xs, istw, pi: int, p: int):
     """GS inverse stages across the fA tiles (mirror of _fs_fwd8)."""
     for s in range(LOG_N1):
@@ -813,12 +822,17 @@ def _make_kernel_fs_mb(
     twiddles; the 128-point stage is the same [128,128] f32-limb matmul
     with the decomposition rows concatenated along lanes.
 
-    The external-product pointwise stage (the hot loop: nv * rows Shoup
-    muls per tile) runs entirely in balanced-signed f32 with the BSK as
-    8-bit limb pairs: 2 fma per term, Barrett reductions deferred to once
-    per (v, c2) — f32 fma is full-rate on the VPU while u32 multiplies
-    lower to multi-op sequences. The matmul epilogues stay in the same
-    balanced domain so values cross u32<->f32 only at the NTT boundaries.
+    The external-product pointwise stage (the hot loop: nv * rows products
+    per tile) runs entirely in balanced-signed f32: the forward-NTT rows
+    are split once into 8-bit limb pairs and the BSK stays a single
+    balanced f32 value per entry, so each term costs ONE [N2,1] column
+    broadcast + 2 fma, with Barrett reductions deferred to once per
+    (v, c2) — f32 fma is full-rate on the VPU while u32 multiplies lower
+    to multi-op sequences. Monomials NTT(X^a) are selected by one-hot
+    matmuls against tiny per-tile tables on the MXU (X^a =
+    X^(a%64) * X^(64*(a/64))), and the subset polynomials P_v stay in
+    balanced f32 (_fgmul), so values cross u32<->f32 only at the
+    8-point-NTT boundaries.
     """
     N, k, n = params.N, params.k, params.n
     g = params.grouping
@@ -855,10 +869,9 @@ def _make_kernel_fs_mb(
         abar_ref,  # [1, n, G] int32
         w2f_ref,  # [NP, N1, 2, N2, N2] fwd matmul with twist folded in
         w2fi_ref,  # [NP, N1, 2, N2, N2] inv matmul with twist folded in
-        mono_ref,  # [N2, L2N*NP*N1], col = (b*NP + pi)*N1 + fA
-        mono_sh_ref,
-        bsklo_ref,  # f32 [1, N2, nv*rows*kp1*NP*N1] balanced 8-bit limbs
-        bskhi_ref,  # (B = lo + 256*hi mod p)
+        tlo_ref,  # [NP, N1, 2, N2, LOW] monomial one-hot limb tables
+        thi_ref,  # [NP, N1, 2, N2, 2N/LOW]
+        bsk_ref,  # f32 [1, N2, nv*rows*kp1*NP*N1], balanced |B| <= p//2
         out_ref,  # [kp1, N1, N2, G]
         acc_scr,  # [kp1, N1, N2, G]
     ):
@@ -868,58 +881,38 @@ def _make_kernel_fs_mb(
         def _():
             acc_scr[...] = acc0_ref[0]
 
-        ones_u = jnp.ones((N2, G), jnp.uint32)
-
         def col(ref2d, c, width=G):
             # static [N2, 1] column -> broadcast across gate lanes
             return jnp.broadcast_to(ref2d[:, c : c + 1], (N2, width))
 
-        # --- monomial NTTs per member: M[i][pi] = N1 tiles of [N2, G]
-        M = [[None] * NP for _ in range(g)]
-        for i in range(g):
-            a_i = abar_ref[0, g * j + i, :]  # [G] lane vector
-            bits = [
-                ((a_i >> b) & 1).astype(jnp.uint32)[None, :]
-                for b in range(L2N)
-            ]
-            for pi, p in enumerate(PRIMES):
-                tiles = []
-                for t in range(N1):
-                    if "noladder" in ablate:
-                        tiles.append(col(mono_ref, (i * NP + pi) * N1 + t))
-                        continue
-                    c0 = (0 * NP + pi) * N1 + t
-                    m = jnp.where(bits[0] == 1, col(mono_ref, c0), ones_u)
-                    for b in range(1, L2N):
-                        c = (b * NP + pi) * N1 + t
-                        m2 = _mshoup(
-                            m, col(mono_ref, c), col(mono_sh_ref, c), p
-                        )
-                        m = jnp.where(bits[b] == 1, m2, m)
-                    tiles.append(m)
-                M[i][pi] = tiles
+        # --- per-gate one-hot selectors for NTT(X^a): X^a =
+        # X^(a%LOW) * X^(LOW*(a/LOW)); each factor is a column select from
+        # a tiny limb table, done as an MXU matmul against the member's
+        # one-hot matrix (exact: one-hot picks a single <=128 limb).
+        LOW = min(64, 2 * N)
+        HBW = max(1, (2 * N) // LOW)
 
-        # --- subset polynomials P_v = prod_{i in v} (M_i - 1)
-        pv = {}
-        for v in range(1, nv):
-            idxs = [i for i in range(g) if (v >> i) & 1]
-            if len(idxs) == 1:
-                pv[v] = [
-                    [_msub(tile, jnp.uint32(1), p) for tile in M[idxs[0]][pi]]
-                    for pi, p in enumerate(PRIMES)
-                ]
-            else:
-                cur = pv[1 << idxs[0]]
-                for i in idxs[1:]:
-                    nxt = pv[1 << i]
-                    cur = [
-                        [
-                            _gmul(a, b, p, INV_P[pi])
-                            for a, b in zip(cur[pi], nxt[pi])
-                        ]
-                        for pi, p in enumerate(PRIMES)
-                    ]
-                pv[v] = cur
+        def ohmm(tref, oh):
+            return jax.lax.dot_general(
+                tref, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        ohs = []
+        for i in range(g):
+            a_i = abar_ref[0, g * j + i, :]  # [G] lane vector, [0, 2N)
+            alo = (a_i & (LOW - 1))[None, :]
+            ahi = (a_i >> LOG2[LOW])[None, :]
+            ohs.append((
+                (
+                    jax.lax.broadcasted_iota(jnp.int32, (LOW, G), 0)
+                    == alo
+                ).astype(jnp.float32),
+                (
+                    jax.lax.broadcasted_iota(jnp.int32, (HBW, G), 0)
+                    == ahi
+                ).astype(jnp.float32),
+            ))
 
         # --- decompose acc (the external product REPLACES it)
         # digs[t][r]: int32 [N2, G] digit of row r, tile t
@@ -930,11 +923,23 @@ def _make_kernel_fs_mb(
                     _decompose(acc_scr[c, t], params.pbs_base_log, levels)
                 )
 
-        # --- forward NTT: rows concatenated along lanes, per tile
-        fwd = [
-            [[None] * N1 for _ in range(NP)] for _ in range(rows_tot)
-        ]  # fwd[r][pi][t] = [N2, G]
+        # --- ONE PRIME AT A TIME: fwd NTT -> monomials/subsets per tile
+        # -> pointwise -> inverse NTT, so only this prime's fwd rows
+        # (rows_tot*N1 tiles) and the small per-tile working set are live
+        # — the all-primes all-subsets form held ~3x more and overflowed
+        # VMEM. Everything balanced f32; the fwd row is limb-split once
+        # per (pi, t) and feeds all nv*kp1 pointwise terms against the
+        # single-f32 BSK slab (one column broadcast per term).
+        inv_res = []  # [pi][t] -> [N2, kp1*G]
         for pi, p in enumerate(PRIMES):
+            ip = INV_P[pi]
+            hp = p // 2
+            # inner r-sum: terms <= hp*128; cap unreduced f32 at 2^24
+            chunk = (1 << 24) // ((hp + 1) * 128)
+            # D lanes: <= hp start, hp*128 per product, and the fold
+            # adds one balanced (<= 1.5p) carry before reducing
+            dchunk = ((1 << 24) - hp - 2 * p) // ((hp + 1) * 128)
+
             xs = []
             for t in range(N1):
                 stacked = jnp.concatenate(
@@ -946,186 +951,127 @@ def _make_kernel_fs_mb(
                 )  # [N2, rows*G]
                 xs.append(stacked)
             xs = _fs_fwd8(xs, STW, pi, p)
+            fwd_pi = [[None] * N1 for _ in range(rows_tot)]
             for t in range(N1):
                 f = _lane128_matmul_fwd_bal(
-                    xs[t], w2f_ref[pi, t, 0], w2f_ref[pi, t, 1], p,
-                    INV_P[pi],
+                    xs[t], w2f_ref[pi, t, 0], w2f_ref[pi, t, 1], p, ip
                 )
                 for r in range(rows_tot):
-                    fwd[r][pi][t] = f[:, r * G : (r + 1) * G]
+                    fwd_pi[r][t] = f[:, r * G : (r + 1) * G]
 
-        # --- subset polys as balanced f32 (once per (v, pi, tile))
-        pv_b = {
-            v: [
-                [_to_bal_f32(tile, p) for tile in pv[v][pi]]
-                for pi, p in enumerate(PRIMES)
-            ]
-            for v in range(1, nv)
-        }
-
-        # --- pointwise (balanced f32): T_v = sum_r f_r (.) BSK_v[r, c2]
-        #     via 8-bit BSK limbs (2 fma per term). The subset combination
-        #     T_0 + sum_{v>=1} P_v (.) T_v keeps T_v as the reduced pair
-        #     (tlo, thi) = T_v mod p in base-256 digits and accumulates
-        #     P_v * T_v into three unreduced digit lanes
-        #     D0 + 256*D1 + 2^16*D2 with P_v as 8-bit limb pairs — 4 fma
-        #     per subset instead of a generic modmul — folded mod p once
-        #     per output tile.
-        pv_l = {  # P_v balanced 8-bit limb pairs, shared across c2
-            v: [
-                [_split256(tile) for tile in pv_b[v][pi]]
-                for pi in range(NP)
-            ]
-            for v in range(1, nv)
-        }
-        conv_ntt = [[None] * NP for _ in range(kp1)]  # balanced f32 tiles
-        if "c2out" not in ablate and "noptw" not in ablate:
-            # default: c2 innermost so each fwd tile read feeds all kp1
-            # accumulators while operand-resident (halves f traffic;
-            # measured +3.6% over c2-outer at gt=256; the perf probes
-            # noptw/nobsk/nored/nogmul are only plumbed in the c2out form)
-            for pi, p in enumerate(PRIMES):
-                ip = INV_P[pi]
-                hp = p // 2
-                chunk = (1 << 24) // ((hp + 1) * 128)
-                dchunk = ((1 << 24) - hp - 2 * p) // ((hp + 1) * 128)
-                for c2 in range(kp1):
-                    conv_ntt[c2][pi] = [None] * N1
-                for t in range(N1):
-                    D = [[None, None, None] for _ in range(kp1)]
-                    Nc = [[0, 0, 0] for _ in range(kp1)]
-                    for v in range(nv):
-                        S = [[None, None] for _ in range(kp1)]
-                        cnt = 0
-                        for r in range(rows_tot):
-                            f = fwd[r][pi][t]
-                            for c2 in range(kp1):
-                                cidx = (
-                                    ((v * rows_tot + r) * kp1 + c2) * NP
-                                    + pi
-                                ) * N1 + t
-                                plo = f * col(bsklo_ref[0], cidx)
-                                phi = f * col(bskhi_ref[0], cidx)
-                                if S[c2][0] is None:
-                                    S[c2][0], S[c2][1] = plo, phi
-                                else:
-                                    S[c2][0] = S[c2][0] + plo
-                                    S[c2][1] = S[c2][1] + phi
-                            cnt += 1
-                            if cnt == chunk and r + 1 < rows_tot:
-                                for c2 in range(kp1):
-                                    S[c2][0] = _redfbt(S[c2][0], p, ip)
-                                    S[c2][1] = _redfbt(S[c2][1], p, ip)
-                                cnt = 1
-                        for c2 in range(kp1):
-                            tlo = _redfbt(S[c2][0], p, ip)
-                            thi = _redfbt(S[c2][1], p, ip)
-                            d, nn = D[c2], Nc[c2]
-                            if v == 0:
-                                d[0], d[1] = tlo, thi
-                            else:
-                                if nn[1] + 2 > dchunk:
-                                    d[1] = _redfbt(d[1], p, ip)
-                                    nn[1] = 0
-                                if nn[0] + 1 > dchunk:
-                                    d[0] = _redfbt(d[0], p, ip)
-                                    nn[0] = 0
-                                if d[2] is not None and nn[2] + 1 > dchunk:
-                                    d[2] = _redfbt(d[2], p, ip)
-                                    nn[2] = 0
-                                p0l, p1l = pv_l[v][pi][t]
-                                d[0] = d[0] + p0l * tlo
-                                d[1] = d[1] + p1l * tlo + p0l * thi
-                                d[2] = (
-                                    p1l * thi
-                                    if d[2] is None
-                                    else d[2] + p1l * thi
-                                )
-                                nn[0] += 1
-                                nn[1] += 2
-                                nn[2] += 1
-                    for c2 in range(kp1):
-                        d0, d1, d2 = D[c2]
-                        if d2 is None:
-                            u = _redfbt(d1, p, ip)
-                        else:
-                            u = _redfbt(
-                                d1
-                                + _redfb(256.0 * _redfbt(d2, p, ip), p, ip),
-                                p, ip,
+            conv_pi = [[None] * N1 for _ in range(kp1)]
+            for t in range(N1 if "noptw" not in ablate else 0):
+                # monomial NTT tiles for (pi, t), balanced f32
+                Mt = []
+                for i in range(g):
+                    if "noladder" in ablate:
+                        Mt.append(
+                            jnp.broadcast_to(
+                                tlo_ref[pi, t, 0][:, 1:2]
+                                + 256.0 * tlo_ref[pi, t, 1][:, 1:2],
+                                (N2, G),
                             )
-                        conv_ntt[c2][pi][t] = _redfbt(
-                            d0 + _redfb(256.0 * u, p, ip), p, ip
                         )
-        for c2 in range(kp1 if "c2out" in ablate or "noptw" in ablate else 0):
-            for pi, p in enumerate(PRIMES):
-                ip = INV_P[pi]
-                if "noptw" in ablate:
-                    conv_ntt[c2][pi] = fwd[0][pi]
-                    continue
-                hp = p // 2
-                # inner r-sum: terms <= hp*128; cap unreduced f32 at 2^24
-                chunk = (1 << 24) // ((hp + 1) * 128)
-                # D lanes: <= hp start, hp*128 per product, and the fold
-                # adds one balanced (<= 1.5p) carry before reducing
-                dchunk = ((1 << 24) - hp - 2 * p) // ((hp + 1) * 128)
-                tiles_out = []
-                for t in range(N1):
-                    d0 = d1 = d2 = None
-                    n0 = n1 = n2 = 0
+                        continue
+                    oh_lo, oh_hi = ohs[i]
+                    l0 = ohmm(tlo_ref[pi, t, 0], oh_lo)  # |.| <= 128
+                    l1 = ohmm(tlo_ref[pi, t, 1], oh_lo)
+                    hv = ohmm(thi_ref[pi, t, 0], oh_hi) + 256.0 * ohmm(
+                        thi_ref[pi, t, 1], oh_hi
+                    )  # the selected value itself: |hv| <= p//2
+                    Mt.append(
+                        _redfbt(
+                            l0 * hv + 256.0 * _redfbt(l1 * hv, p, ip),
+                            p, ip,
+                        )
+                    )
+                # subset polys P_v = prod_{i in v} (M_i - 1) as 8-bit
+                # limb pairs (only this tile's — not all (pi, t) at once)
+                pvt = {}
+                for v in range(1, nv):
+                    idxs = [i for i in range(g) if (v >> i) & 1]
+                    cur = Mt[idxs[0]] - 1.0
+                    for i in idxs[1:]:
+                        cur = _fgmul(cur, Mt[i] - 1.0, p, ip)
+                    pvt[v] = _split256(cur)
+
+                # pointwise, r outer: each fwd row limb-split ONCE for
+                # all nv*kp1 terms
+                D = [[None, None, None] for _ in range(kp1)]
+                Nc = [[0, 0, 0] for _ in range(kp1)]
+                S = [
+                    [[None, None] for _ in range(kp1)] for _ in range(nv)
+                ]
+                cnt = 0
+                for r in range(rows_tot):
+                    flo, fhi = _split256(fwd_pi[r][t])
                     for v in range(nv):
-                        slo = shi = None
-                        cnt = 0
-                        for r in range(rows_tot):
+                        for c2 in range(kp1):
                             cidx = (
-                                ((v * rows_tot + r) * kp1 + c2) * NP + pi
+                                ((v * rows_tot + r) * kp1 + c2) * NP
+                                + pi
                             ) * N1 + t
-                            f = fwd[r][pi][t]
-                            if "nobsk" in ablate:  # perf probe: load cost
-                                plo = f * jnp.float32(3.0 + r)
-                                phi = f * jnp.float32(5.0 + r)
+                            if "nobsk" in ablate:  # probe: load cost
+                                plo = flo * jnp.float32(3.0 + r)
+                                phi = fhi * jnp.float32(5.0 + r)
                             else:
-                                plo = f * col(bsklo_ref[0], cidx)
-                                phi = f * col(bskhi_ref[0], cidx)
-                            if slo is None:
-                                slo, shi = plo, phi
+                                b = col(bsk_ref[0], cidx)
+                                plo = flo * b
+                                phi = fhi * b
+                            if S[v][c2][0] is None:
+                                S[v][c2][0], S[v][c2][1] = plo, phi
                             else:
-                                slo, shi = slo + plo, shi + phi
-                            cnt += 1
-                            if cnt == chunk and r + 1 < rows_tot:
-                                slo = _redfbt(slo, p, ip)
-                                shi = _redfbt(shi, p, ip)
-                                cnt = 1
-                        if "nored" in ablate:  # perf probe: Barrett cost
-                            tlo, thi = slo, shi
+                                S[v][c2][0] = S[v][c2][0] + plo
+                                S[v][c2][1] = S[v][c2][1] + phi
+                    cnt += 1
+                    if cnt == chunk and r + 1 < rows_tot:
+                        for v in range(nv):
+                            for c2 in range(kp1):
+                                S[v][c2][0] = _redfbt(S[v][c2][0], p, ip)
+                                S[v][c2][1] = _redfbt(S[v][c2][1], p, ip)
+                        cnt = 1
+                # subset combination: T_0 + sum_{v>=1} P_v (.) T_v with
+                # T_v as reduced base-256 digit pairs accumulated into
+                # three unreduced digit lanes D0 + 256*D1 + 2^16*D2
+                for v in range(nv):
+                    for c2 in range(kp1):
+                        if "nored" in ablate:  # probe: Barrett cost
+                            tlo, thi = S[v][c2]
                         else:
-                            tlo = _redfbt(slo, p, ip)
-                            thi = _redfbt(shi, p, ip)
+                            tlo = _redfbt(S[v][c2][0], p, ip)
+                            thi = _redfbt(S[v][c2][1], p, ip)
+                        d, nn = D[c2], Nc[c2]
                         if v == 0:
-                            d0, d1 = tlo, thi
-                        elif "nogmul" in ablate:
-                            d0 = d0 + tlo
-                            d1 = d1 + thi
+                            d[0], d[1] = tlo, thi
+                        elif "nogmul" in ablate:  # probe: subset cost
+                            d[0] = d[0] + tlo
+                            d[1] = d[1] + thi
                         else:
-                            if n1 + 2 > dchunk:
-                                d1 = _redfbt(d1, p, ip)
-                                n1 = 0
-                            if n0 + 1 > dchunk:
-                                d0 = _redfbt(d0, p, ip)
-                                n0 = 0
-                            if d2 is not None and n2 + 1 > dchunk:
-                                d2 = _redfbt(d2, p, ip)
-                                n2 = 0
-                            p0l, p1l = pv_l[v][pi][t]
-                            d0 = d0 + p0l * tlo
-                            d1 = d1 + p1l * tlo + p0l * thi
-                            d2 = p1l * thi if d2 is None else d2 + p1l * thi
-                            n0 += 1
-                            n1 += 2
-                            n2 += 1
-                    # fold D0 + 256*(D1 + 256*D2) mod p -> balanced <= p//2
-                    # (the inverse matmul's 256-limbs must stay <= 128 for
-                    # bf16-exactness on the MXU's single f32 pass)
+                            if nn[1] + 2 > dchunk:
+                                d[1] = _redfbt(d[1], p, ip)
+                                nn[1] = 0
+                            if nn[0] + 1 > dchunk:
+                                d[0] = _redfbt(d[0], p, ip)
+                                nn[0] = 0
+                            if d[2] is not None and nn[2] + 1 > dchunk:
+                                d[2] = _redfbt(d[2], p, ip)
+                                nn[2] = 0
+                            p0l, p1l = pvt[v]
+                            d[0] = d[0] + p0l * tlo
+                            d[1] = d[1] + p1l * tlo + p0l * thi
+                            d[2] = (
+                                p1l * thi
+                                if d[2] is None
+                                else d[2] + p1l * thi
+                            )
+                            nn[0] += 1
+                            nn[1] += 2
+                            nn[2] += 1
+                # fold D0 + 256*(D1 + 256*D2) mod p -> balanced <= p//2
+                # (the inverse matmul's 256-limbs must stay <= 128 for
+                # bf16-exactness on the MXU's single f32 pass)
+                for c2 in range(kp1):
+                    d0, d1, d2 = D[c2]
                     if d2 is None:
                         u = _redfbt(d1, p, ip)
                     else:
@@ -1133,26 +1079,27 @@ def _make_kernel_fs_mb(
                             d1 + _redfb(256.0 * _redfbt(d2, p, ip), p, ip),
                             p, ip,
                         )
-                    tiles_out.append(
-                        _redfbt(d0 + _redfb(256.0 * u, p, ip), p, ip)
+                    conv_pi[c2][t] = _redfbt(
+                        d0 + _redfb(256.0 * u, p, ip), p, ip
                     )
-                conv_ntt[c2][pi] = tiles_out
+            if "noptw" in ablate:
+                conv_pi = [list(fwd_pi[0]) for _ in range(kp1)]
 
-        # --- inverse NTT per prime (kp1 polys along lanes), then CRT
-        inv_res = []  # [pi][t] -> [N2, kp1*G]
-        for pi, p in enumerate(PRIMES):
-            xs = []
+            # inverse NTT for this prime (kp1 polys along lanes)
+            xs2 = []
             for t in range(N1):
                 stacked = jnp.concatenate(
-                    [conv_ntt[c][pi][t] for c in range(kp1)], axis=1
+                    [conv_pi[c][t] for c in range(kp1)], axis=1
                 )  # [N2, kp1*G] balanced f32
-                xs.append(
+                xs2.append(
                     _lane128_matmul_inv_bal(
                         stacked, w2fi_ref[pi, t, 0], w2fi_ref[pi, t, 1],
-                        p, INV_P[pi],
+                        p, ip,
                     )
                 )
-            inv_res.append(_fs_inv8(xs, ISTW, pi, p))
+            inv_res.append(_fs_inv8(xs2, ISTW, pi, p))
+
+        # --- CRT recombination across primes
         for c in range(kp1):
             for t in range(N1):
                 res = [
@@ -1503,10 +1450,13 @@ def blind_rotate_mxu_mb(
 
 
 def mxu_server_key_fs(dsk):
-    """Grouped BSK in frequency-in-sublanes layout, as balanced-signed f32
-    8-bit limb pairs (lo, hi) with B = lo + 256*hi mod p, |lo|,|hi| <= 128:
+    """Grouped BSK in frequency-in-sublanes layout, as ONE balanced-signed
+    f32 value per entry (|B| <= p//2 < 2^16, exactly representable):
     [groups, N2, nv*rows*kp1*NP*N1], col = (((v*rows+r)*kp1+c2)*NP+pi)*N1+fA.
-    The kernel's f32 pointwise accumulates these exactly below 2^24."""
+    The kernel splits the *NTT outputs* into 8-bit limbs instead (once per
+    decomposition row, reused across all nv*kp1 terms), so each pointwise
+    term costs ONE column broadcast of this slab rather than a lo/hi pair —
+    and the slab's VMEM/HBM footprint halves."""
     cache = _mxu_key_cache()
     key = ("fs", id(dsk.bsk_ntt))
     if key not in cache:
@@ -1520,20 +1470,13 @@ def mxu_server_key_fs(dsk):
 
         @jax.jit
         def make(b_u32):
-            def conv(x):
-                x = x[..., perm].reshape(
-                    groups, nv, rows, kp1, NP, N1, N2
-                )
-                x = jnp.transpose(x, (0, 6, 1, 2, 3, 4, 5))
-                return x.reshape(groups, N2, nv * rows * kp1 * NP * N1)
-
             b = b_u32.astype(jnp.int32)
-            bal = jnp.where(b > pr // 2, b - pr, b)
-            hi = jnp.round(bal.astype(jnp.float32) / 256.0).astype(jnp.int32)
-            lo = (bal - 256 * hi).astype(jnp.float32)
-            return conv(lo), conv(hi.astype(jnp.float32))
+            bal = jnp.where(b > pr // 2, b - pr, b).astype(jnp.float32)
+            x = bal[..., perm].reshape(groups, nv, rows, kp1, NP, N1, N2)
+            x = jnp.transpose(x, (0, 6, 1, 2, 3, 4, 5))
+            return x.reshape(groups, N2, nv * rows * kp1 * NP * N1)
 
-        cache[key] = tuple(make(dsk.bsk_ntt))
+        cache[key] = make(dsk.bsk_ntt)
     return cache[key]
 
 
@@ -1551,28 +1494,64 @@ def _fs_tables(N: int):
     rows) — folding both removes every twist Shoup chain from the kernel.
     Entry bound: fused values mod p balance to |.| <= p//2 <= 2^15, so the
     limb pairs stay |.| <= 128 (bf16-exact on the MXU's single f32 pass).
+
+    tlo/thi: monomial lookup tables for the MXU one-hot selection of
+    NTT(X^a) — tlo[pi, fA, limb, jb, e] = limbs(psi^(e * e_f mod 2N)) for
+    e < LOW=min(64, 2N), thi for psi^(LOW*h*e_f), h < 2N/LOW, where e_f =
+    2*bitrev(f)+1 is the evaluation exponent of fs position (fA, jb). The
+    kernel computes X^a = X^(a%LOW) * X^(LOW*(a/LOW)) with two tiny
+    matmuls against per-gate one-hot vectors (MXU, ~free) instead of a
+    log(2N)-rung Shoup ladder (measured ~19%% of kernel time).
     """
-    from ..fhe.pbs_jnp import monomial_tables
+    from ..fhe.modring import _bit_reverse, root_of_unity
 
     t = mxu_ntt.mxu_tables(N)
     perm = np.asarray(t["perm_from_std"])
     N2 = N // N1
     primes = t["primes"]
     NP = len(primes)
+    bits = N.bit_length() - 1
 
     def twc(m):  # [NP, N1(jA), N2(jB)] -> [N2, NP*N1]
         return np.ascontiguousarray(
             np.transpose(m, (2, 0, 1)).reshape(N2, -1)
         )
 
-    mono, mono_sh = monomial_tables(N)
-    L2N = mono.shape[0]
+    LOW = min(64, 2 * N)
+    HB = max(1, (2 * N) // LOW)
+    tlo = np.zeros((NP, N1, 2, N2, LOW), np.float32)
+    thi = np.zeros((NP, N1, 2, N2, HB), np.float32)
+    # e_f per fs position: f_std = perm[fa*N2 + jb], e_f = 2*bitrev(f)+1
+    e_f = np.zeros((N1, N2), np.int64)
+    for fa in range(N1):
+        for jb in range(N2):
+            f = perm[fa * N2 + jb]
+            e_f[fa, jb] = 2 * _bit_reverse(int(f), bits) + 1
 
-    def mx(m):  # [L2N, NP, N] -> [N2, L2N*NP*N1]
-        x = m[:, :, perm].reshape(L2N, m.shape[1], N1, N2)
-        return np.ascontiguousarray(
-            np.transpose(x, (3, 0, 1, 2)).reshape(N2, -1)
+    def bal_split(v, p):  # [..] uint -> balanced limb pair (lo, hi)
+        b = np.where(v > p // 2, v.astype(np.int64) - p, v).astype(
+            np.float64
         )
+        hi = np.round(b / 256.0)
+        lo = b - 256.0 * hi
+        assert np.abs(lo).max() <= 128 and np.abs(hi).max() <= 128
+        return lo.astype(np.float32), hi.astype(np.float32)
+
+    for pi, p in enumerate(primes):
+        psi = root_of_unity(p, 2 * N)
+        wpow = np.ones(2 * N, np.int64)
+        for i in range(1, 2 * N):
+            wpow[i] = wpow[i - 1] * psi % p
+        for fa in range(N1):
+            ef = e_f[fa]  # [N2]
+            lo_v = wpow[
+                (np.arange(LOW)[None, :] * ef[:, None]) % (2 * N)
+            ]  # [N2, LOW]
+            hi_v = wpow[
+                (LOW * np.arange(HB)[None, :] * ef[:, None]) % (2 * N)
+            ]
+            tlo[pi, fa, 0], tlo[pi, fa, 1] = bal_split(lo_v, p)
+            thi[pi, fa, 0], thi[pi, fa, 1] = bal_split(hi_v, p)
 
     w2 = (
         t["w2_limbs"][:, 0].astype(np.int64)
@@ -1605,8 +1584,8 @@ def _fs_tables(N: int):
         "tw_sh": twc(t["tw_sh"]),
         "twi": twc(t["twi"]),
         "twi_sh": twc(t["twi_sh"]),
-        "mono": mx(mono),
-        "mono_sh": mx(mono_sh),
+        "tlo": tlo,
+        "thi": thi,
         "w2f": w2f,
         "w2fi": w2fi,
     }
@@ -1617,8 +1596,7 @@ def _fs_tables(N: int):
 )
 def blind_rotate_fs_mb(
     params: TfheParams,
-    bsk_lo,
-    bsk_hi,
+    bsk,
     lwe_in,
     testv,
     g_tile: int = 256,
@@ -1690,11 +1668,8 @@ def blind_rotate_fs_mb(
             pl.BlockSpec((1, n, g_tile), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             cmap((NP, N1, 2, N2, N2)),
             cmap((NP, N1, 2, N2, N2)),
-            cmap((N2, L2N * NP * N1)),
-            cmap((N2, L2N * NP * N1)),
-            pl.BlockSpec(
-                (1, N2, CC), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
-            ),
+            cmap(fst["tlo"].shape),
+            cmap(fst["thi"].shape),
             pl.BlockSpec(
                 (1, N2, CC), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -1716,10 +1691,9 @@ def blind_rotate_fs_mb(
         abar_t,
         jnp.asarray(fst["w2f"]),
         jnp.asarray(fst["w2fi"]),
-        jnp.asarray(fst["mono"]),
-        jnp.asarray(fst["mono_sh"]),
-        bsk_lo,
-        bsk_hi,
+        jnp.asarray(fst["tlo"]),
+        jnp.asarray(fst["thi"]),
+        bsk,
     )
     # [tiles, kp1, N1, N2, G] -> [Gp, kp1, N]
     acc = jnp.transpose(out, (0, 4, 1, 2, 3)).reshape(Gp, kp1, N)
@@ -1752,18 +1726,20 @@ def bootstrap_mxu(
     if keys is None:
         keys = dsk.mxu_keys
     if dsk.params.grouping > 1:
-        bsk_a, bsk_b = keys if keys is not None else mxu_server_key_fs(dsk)
-        rotate = blind_rotate_fs_mb
+        bsk = keys[0] if keys is not None else mxu_server_key_fs(dsk)
         if g_tile is None:
             g_tile = 8 if interpret else 256
+        acc = blind_rotate_fs_mb(
+            dsk.params, bsk, lwe_in, testv,
+            g_tile=g_tile, interpret=interpret,
+        )
     else:
         bsk_a, bsk_b = keys if keys is not None else mxu_server_key(dsk)
-        rotate = blind_rotate_mxu
         if g_tile is None:
             g_tile = 4 if interpret else 32
-    acc = rotate(
-        dsk.params, bsk_a, bsk_b, lwe_in, testv,
-        g_tile=g_tile, interpret=interpret,
-    )
+        acc = blind_rotate_mxu(
+            dsk.params, bsk_a, bsk_b, lwe_in, testv,
+            g_tile=g_tile, interpret=interpret,
+        )
     big = fops.sample_extract(jnp, acc, dsk.params.k, dsk.params.N)
     return keyswitch(dsk, big)

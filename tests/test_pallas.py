@@ -154,10 +154,10 @@ def test_fs_multibit_blind_rotate_matches_jnp(keys_mb):
     ref = np.asarray(
         jax.jit(pbs_jnp.blind_rotate_multibit)(dsk, jnp.asarray(ct), testv)
     )
-    bsk_fs, bsk_fs_sh = mxu_pbs.mxu_server_key_fs(dsk)
+    bsk_fs = mxu_pbs.mxu_server_key_fs(dsk)
     got = np.asarray(
         mxu_pbs.blind_rotate_fs_mb(
-            p, bsk_fs, bsk_fs_sh, jnp.asarray(ct), testv,
+            p, bsk_fs, jnp.asarray(ct), testv,
             g_tile=8, interpret=True,
         )
     )

@@ -40,10 +40,10 @@ testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
 x = jnp.asarray(lin)
 layout = os.environ.get("LAYOUT", "gm")  # gm = gate-major, fs = freq-sublane
 if layout == "fs":
-    bsk_a, bsk_b = mxu_pbs.mxu_server_key_fs(dsk)
+    bsk_args = (mxu_pbs.mxu_server_key_fs(dsk),)
     rot_fn = mxu_pbs.blind_rotate_fs_mb
 else:
-    bsk_a, bsk_b = mxu_pbs.mxu_server_key(dsk)
+    bsk_args = mxu_pbs.mxu_server_key(dsk)
     rot_fn = mxu_pbs.blind_rotate_mxu_mb
 
 gts = [int(v) for v in os.environ.get("GTS", "32").split(",")]
@@ -52,13 +52,13 @@ ablates = os.environ.get("ABLATES", "").split(":")
 for gt in gts:
     for ab in ablates:
         t0 = time.time()
-        acc = rot_fn(p, bsk_a, bsk_b, x, testv, g_tile=gt, ablate=ab)
+        acc = rot_fn(p, *bsk_args, x, testv, g_tile=gt, ablate=ab)
         _ = np.asarray(acc)
         compile_t = time.time() - t0
         t0 = time.time()
         iters = 6
         for _i in range(iters):
-            acc = rot_fn(p, bsk_a, bsk_b, x, testv, g_tile=gt, ablate=ab)
+            acc = rot_fn(p, *bsk_args, x, testv, g_tile=gt, ablate=ab)
         _ = np.asarray(acc)
         dt = time.time() - t0
         print(
