@@ -39,7 +39,7 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "4"))
     backend = os.environ.get("BENCH_BACKEND", "mxu")  # jnp | pallas | mxu
     # default: multi-bit (grouping 2) gates set -> the frequency-in-sublanes
-    # MXU kernel, the fastest measured path (~2.6k bs/s vs ~1.6k single-bit)
+    # MXU kernel, the fastest measured path (~3.4k bs/s vs ~1.6k single-bit)
     p = getattr(P, os.environ.get("BENCH_PARAMS", "GATES_TPU_MB2"))
 
     t = time.perf_counter()
