@@ -154,8 +154,6 @@ def _run_boolean(args, netlist) -> int:
         params = P.TEST_PARAMS if mode == "gates" else P.TEST_PARAMS_LUT
     else:
         params = None
-    if args.mesh and args.backend != "jnp":
-        raise SystemExit("--mesh requires --backend jnp (shardable PBS)")
     engine = BooleanEngine(
         mode=mode,
         params=params,

@@ -48,24 +48,47 @@ def _level_body(
     coef = slot_coef[..., None].astype(jnp.uint32)
     pre = jnp.sum(ins * coef, axis=1, dtype=jnp.uint32)
     pre = pre.at[:, n].add(slot_off)
-    if shard is not None:
-        # gate-parallel across the mesh: the PBS batch is the scaling axis
-        pre = jax.lax.with_sharding_constraint(pre, shard)
-        if testv.shape[0] == pre.shape[0]:
-            testv = jax.lax.with_sharding_constraint(testv, shard)
-    # pallas kernels are single-chip (not auto-partitionable); interpret on
-    # CPU so the engine tests cover these paths too
+    # pallas kernels run per-chip; interpret on CPU so the engine tests
+    # cover these paths too
     interp = jax.default_backend() == "cpu"
     if backend == "pallas":
         from ..ops.pallas_pbs import bootstrap_pallas
 
-        outs = bootstrap_pallas(dsk, pre, testv, interpret=interp)
+        def bs(dsk, pre, testv):
+            return bootstrap_pallas(dsk, pre, testv, interpret=interp)
     elif backend == "mxu":
         from ..ops.mxu_pbs import bootstrap_mxu
 
-        outs = bootstrap_mxu(dsk, pre, testv, g_tile=g_tile, interpret=interp)
+        def bs(dsk, pre, testv):
+            return bootstrap_mxu(dsk, pre, testv, g_tile=g_tile, interpret=interp)
     else:
-        outs = pbs_jnp.bootstrap(dsk, pre, testv)
+        bs = pbs_jnp.bootstrap
+    if shard is None:
+        outs = bs(dsk, pre, testv)
+    elif backend == "jnp":
+        # gate-parallel across the mesh: the PBS batch is the scaling axis;
+        # GSPMD partitions the whole pipeline from the constraint alone
+        pre = jax.lax.with_sharding_constraint(pre, shard)
+        if testv.shape[0] == pre.shape[0]:
+            testv = jax.lax.with_sharding_constraint(testv, shard)
+        outs = bs(dsk, pre, testv)
+    else:
+        # fused kernels are single-chip programs: shard_map runs one kernel
+        # instance per device on its slice of the gate batch (keys
+        # replicated). Slot counts are padded to powers of two >= mesh size
+        # (circuit/plan.py), so the batch always divides evenly.
+        from jax.sharding import PartitionSpec as _P
+
+        mesh = shard.mesh
+        axis = shard.spec[0]
+        tv_spec = _P(axis) if testv.shape[0] == pre.shape[0] else _P()
+        outs = jax.shard_map(
+            bs,
+            mesh=mesh,
+            in_specs=(_P(), _P(axis), tv_spec),
+            out_specs=_P(axis),
+            check_vma=False,  # pallas_call out_shape carries no vma info
+        )(dsk, pre, testv)
     wires = wires.at[slot_dst].set(outs)
     mval = outs[mux_pairs[:, 0]] + outs[mux_pairs[:, 1]]
     mval = mval.at[:, n].add(jnp.uint32(Q8))
@@ -195,7 +218,6 @@ class BooleanEngine:
     def set_sharding(self, batch_shard, repl_shard) -> None:
         """Enable gate sharding (call before compile; parallel/mesh.py)."""
         assert self.plan is None, "set_sharding must be called before compile()"
-        assert self.backend == "jnp", "gate sharding requires the jnp backend"
         self._batch_shard = batch_shard
         self._repl_shard = repl_shard
         self._min_slots = batch_shard.mesh.size

@@ -50,6 +50,41 @@ def test_sharded_matches_unsharded():
     assert out1 == out2
 
 
+@pytest.mark.parametrize(
+    "pset", [P.TEST_PARAMS, P.TEST_PARAMS_MB], ids=["single-bit", "multi-bit"]
+)
+def test_sharded_mxu_kernel_matches_unsharded(pset):
+    """Fused-kernel gate sharding: shard_map runs one Pallas kernel per
+    device on its slice of the PBS batch (keys replicated)."""
+    nl = read_verilog_file("benchmarks/netlists/2-bit-adder.v")
+    inputs = {"a[0]": True, "a[1]": False, "b[0]": True, "b[1]": True, "cin": False}
+    e1 = BooleanEngine(mode="gates", params=pset, seed=13, backend="mxu")
+    e1.compile(nl)
+    out1 = e1.decrypt_outputs(e1.evaluate(e1.encrypt_inputs(inputs)))
+    e2 = BooleanEngine(mode="gates", params=pset, seed=13, backend="mxu")
+    shard_engine(e2, 4)
+    e2.compile(nl)
+    out2 = e2.decrypt_outputs(e2.evaluate(e2.encrypt_inputs(inputs)))
+    assert out1 == out2
+
+
+def test_sharded_mxu_fused_levels():
+    """Sharded kernel + whole-circuit lax.scan fusion in one program."""
+    nl = read_verilog_file("benchmarks/netlists/2-bit-adder.v")
+    inputs = {"a[0]": False, "a[1]": True, "b[0]": True, "b[1]": False, "cin": True}
+    e1 = BooleanEngine(mode="gates", params=P.TEST_PARAMS_MB, seed=5)
+    e1.compile(nl)
+    out1 = e1.decrypt_outputs(e1.evaluate(e1.encrypt_inputs(inputs)))
+    e2 = BooleanEngine(
+        mode="gates", params=P.TEST_PARAMS_MB, seed=5, backend="mxu",
+        fuse_levels=True,
+    )
+    shard_engine(e2, 8)
+    e2.compile(nl)
+    out2 = e2.decrypt_outputs(e2.evaluate(e2.encrypt_inputs(inputs)))
+    assert out1 == out2
+
+
 def test_sharded_arith_matches_oracle():
     from helm_tpu.circuit.graph import Circuit
     from helm_tpu.circuit.verilog import read_verilog_file
