@@ -74,9 +74,12 @@ def mxu_tables(N: int):
     stage_tw_sh = np.zeros_like(stage_tw)
     tw = np.zeros((NP, N1, N2), np.uint32)  # TW[fA_s, jB]
     tw_sh = np.zeros_like(tw)
-    w2_limbs = np.zeros((NP, 2, N2, N2), np.int8)  # balanced int8 limbs
+    # balanced 8-bit limb pairs, |limb| <= 128 (int16 storage: p = 2^16+1
+    # in the N=2048 prime set balances to +-2^15, whose hi limb is exactly
+    # 128 — representable in bf16, so MXU-exact, but not in int8)
+    w2_limbs = np.zeros((NP, 2, N2, N2), np.int16)
     # inverse direction
-    w2i_limbs = np.zeros((NP, 2, N2, N2), np.int8)
+    w2i_limbs = np.zeros((NP, 2, N2, N2), np.int16)
     twi = np.zeros((NP, N1, N2), np.uint32)
     twi_sh = np.zeros_like(twi)
     istage_tw = np.zeros((NP, LOG_N1, N1), np.uint32)
@@ -112,7 +115,7 @@ def mxu_tables(N: int):
             b = v if v <= p // 2 else v - p
             l0 = ((b + 128) & 255) - 128
             l1 = (b - l0) >> 8
-            assert -128 <= l0 <= 127 and -128 <= l1 <= 127, (v, p)
+            assert -128 <= l0 <= 128 and -128 <= l1 <= 128, (v, p)
             return l0, l1
 
         w2n = pow(w, N1, p)  # order N2

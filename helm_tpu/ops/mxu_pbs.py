@@ -302,16 +302,21 @@ def _to_bal_f32(u, p: int):
     return jnp.where(t32 > p // 2, t32 - p, t32).astype(jnp.float32)
 
 
-def _mm128_parts(bal, w0, w1, p: int, inv_p: float):
-    """Limb matmul of balanced f32 [N2, L] against [N2, N2] balanced 8-bit
-    limb matrices (contraction over sublanes): returns (lo, mid, hi) f32
-    with result = lo + 2^8*mid + 2^16*hi mod p, each |.| <= 1.5*p.
+def _mm128_bal(bal, w0, w1, p: int, inv_p: float):
+    """(W^T @ bal) mod p, balanced f32 in/out (|.| <= p//2).
 
-    REQUIRES |bal| <= p//2 so both input limbs stay <= 128: the TPU's
-    default f32 dot_general runs ONE bf16 pass, exact only for operands
-    that fit 8 significand bits. (CPU interpret would be exact up to 2^24
-    — do not widen the bound based on interpret-mode tests.)"""
+    w0/w1: [N2, N2] balanced 8-bit limb matrices, stored bf16 (W = w0 +
+    256*w1, |w_i| <= 128 — integers <= 256 are bf16-exact, and the MXU
+    accumulates in f32). REQUIRES |bal| <= p//2 so the input limbs also
+    stay <= 128; they are cast to bf16 explicitly (the default f32
+    dot_general runs one bf16 pass anyway — the cast halves the VMEM
+    traffic without changing the math; CPU interpret stays exact too).
+
+    Epilogue: 4 Barrett reductions (lo/mid/hi folded with running bounds
+    in the comments; every intermediate < 2^24, f32-exact; N2 <= 256)."""
     a0, a1 = _split256(bal)
+    a0 = a0.astype(jnp.bfloat16)
+    a1 = a1.astype(jnp.bfloat16)
 
     def mm(w, a):
         return jax.lax.dot_general(
@@ -319,32 +324,25 @@ def _mm128_parts(bal, w0, w1, p: int, inv_p: float):
             preferred_element_type=jnp.float32,
         )
 
-    lo = _redfb(mm(w0, a0), p, inv_p)
-    mid = _redfb(mm(w1, a0) + mm(w0, a1), p, inv_p)
-    hi = _redfb(mm(w1, a1), p, inv_p)
-    return lo, mid, hi
-
-
-def _mm128_fold(lo, mid, hi, p: int, inv_p: float):
-    """lo + 2^8*mid + 2^16*hi mod p, balanced f32 in/out (|out| <= p//2)."""
-    h1 = _redfb(256.0 * _tighten(hi, p), p, inv_p)
-    s1 = _redfbt(mid + h1, p, inv_p)
-    return _redfbt(lo + _redfb(256.0 * s1, p, inv_p), p, inv_p)
+    m00 = mm(w0, a0)  # |.| <= N2*128*128 <= 2^22
+    mid = mm(w1, a0) + mm(w0, a1)  # <= 2^23
+    m11 = mm(w1, a1)
+    hi = _redfbt(m11, p, inv_p)  # <= p//2
+    u = _redfb(mid, p, inv_p)  # <= 1.5p
+    s1 = _redfbt(u + 256.0 * hi, p, inv_p)  # in <= 1.5p + 2^23 < 2^24
+    return _redfbt(m00 + 256.0 * s1, p, inv_p)  # in <= 2^22 + 2^23 < 2^24
 
 
 def _lane128_matmul_fwd_bal(u, w0, w1, p: int, inv_p: float):
     """u32 [0, p) -> (W2^T @ u) mod p as balanced f32 (|out| <= p//2),
     feeding the f32 pointwise stage directly — no u32 round trip and no
     integer-Shoup epilogue."""
-    bal = _to_bal_f32(u, p)
-    lo, mid, hi = _mm128_parts(bal, w0, w1, p, inv_p)
-    return _mm128_fold(lo, mid, hi, p, inv_p)
+    return _mm128_bal(_to_bal_f32(u, p), w0, w1, p, inv_p)
 
 
 def _lane128_matmul_inv_bal(bal, w0, w1, p: int, inv_p: float):
     """Balanced f32 (|in| <= p//2) -> (W2^T @ in) mod p as u32 in [0, p)."""
-    lo, mid, hi = _mm128_parts(bal, w0, w1, p, inv_p)
-    ob = _mm128_fold(lo, mid, hi, p, inv_p)
+    ob = _mm128_bal(bal, w0, w1, p, inv_p)
     i = ob.astype(jnp.int32)
     return jnp.where(i < 0, i + p, i).astype(jnp.uint32)
 
@@ -903,15 +901,16 @@ def _make_kernel_fs_mb(
             a_i = abar_ref[0, g * j + i, :]  # [G] lane vector, [0, 2N)
             alo = (a_i & (LOW - 1))[None, :]
             ahi = (a_i >> LOG2[LOW])[None, :]
+            # one-hot selectors in bf16 (0/1 exact; matches the bf16 tables)
             ohs.append((
                 (
                     jax.lax.broadcasted_iota(jnp.int32, (LOW, G), 0)
                     == alo
-                ).astype(jnp.float32),
+                ).astype(jnp.bfloat16),
                 (
                     jax.lax.broadcasted_iota(jnp.int32, (HBW, G), 0)
                     == ahi
-                ).astype(jnp.float32),
+                ).astype(jnp.bfloat16),
             ))
 
         # --- decompose acc (the external product REPLACES it)
@@ -919,9 +918,13 @@ def _make_kernel_fs_mb(
         digs = [[] for _ in range(N1)]
         for c in range(kp1):
             for t in range(N1):
-                digs[t].extend(
-                    _decompose(acc_scr[c, t], params.pbs_base_log, levels)
-                )
+                if "nodec" in ablate:  # probe: decomposition cost
+                    d = (acc_scr[c, t] >> jnp.uint32(24)).astype(jnp.int32)
+                    digs[t].extend([d] * levels)
+                else:
+                    digs[t].extend(
+                        _decompose(acc_scr[c, t], params.pbs_base_log, levels)
+                    )
 
         # --- ONE PRIME AT A TIME: fwd NTT -> monomials/subsets per tile
         # -> pointwise -> inverse NTT, so only this prime's fwd rows
@@ -950,12 +953,16 @@ def _make_kernel_fs_mb(
                     axis=1,
                 )  # [N2, rows*G]
                 xs.append(stacked)
-            xs = _fs_fwd8(xs, STW, pi, p)
+            if "nofwd8" not in ablate:
+                xs = _fs_fwd8(xs, STW, pi, p)
             fwd_pi = [[None] * N1 for _ in range(rows_tot)]
             for t in range(N1):
-                f = _lane128_matmul_fwd_bal(
-                    xs[t], w2f_ref[pi, t, 0], w2f_ref[pi, t, 1], p, ip
-                )
+                if "nofmm" in ablate:  # probe: fwd 128-matmul cost
+                    f = _to_bal_f32(xs[t], p)
+                else:
+                    f = _lane128_matmul_fwd_bal(
+                        xs[t], w2f_ref[pi, t, 0], w2f_ref[pi, t, 1], p, ip
+                    )
                 for r in range(rows_tot):
                     fwd_pi[r][t] = f[:, r * G : (r + 1) * G]
 
@@ -967,8 +974,9 @@ def _make_kernel_fs_mb(
                     if "noladder" in ablate:
                         Mt.append(
                             jnp.broadcast_to(
-                                tlo_ref[pi, t, 0][:, 1:2]
-                                + 256.0 * tlo_ref[pi, t, 1][:, 1:2],
+                                tlo_ref[pi, t, 0][:, 1:2].astype(jnp.float32)
+                                + 256.0
+                                * tlo_ref[pi, t, 1][:, 1:2].astype(jnp.float32),
                                 (N2, G),
                             )
                         )
@@ -1091,13 +1099,22 @@ def _make_kernel_fs_mb(
                 stacked = jnp.concatenate(
                     [conv_pi[c][t] for c in range(kp1)], axis=1
                 )  # [N2, kp1*G] balanced f32
-                xs2.append(
-                    _lane128_matmul_inv_bal(
-                        stacked, w2fi_ref[pi, t, 0], w2fi_ref[pi, t, 1],
-                        p, ip,
+                if "noimm" in ablate:  # probe: inverse 128-matmul cost
+                    i32 = stacked.astype(jnp.int32)
+                    xs2.append(
+                        jnp.where(i32 < 0, i32 + p, i32).astype(jnp.uint32)
                     )
-                )
-            inv_res.append(_fs_inv8(xs2, ISTW, pi, p))
+                else:
+                    xs2.append(
+                        _lane128_matmul_inv_bal(
+                            stacked, w2fi_ref[pi, t, 0], w2fi_ref[pi, t, 1],
+                            p, ip,
+                        )
+                    )
+            if "noinv8" in ablate:
+                inv_res.append(xs2)
+            else:
+                inv_res.append(_fs_inv8(xs2, ISTW, pi, p))
 
         # --- CRT recombination across primes
         for c in range(kp1):
@@ -1106,9 +1123,12 @@ def _make_kernel_fs_mb(
                     inv_res[pi][t][:, c * G : (c + 1) * G]
                     for pi in range(NP)
                 ]
-                acc_scr[c, t] = _crt_fast(
-                    res, CRT_W_MOD, CRT_FRAC, PROD_MOD
-                )
+                if "nocrt" in ablate:  # probe: CRT recombination cost
+                    acc_scr[c, t] = res[0] + res[1] + res[2] + res[3]
+                else:
+                    acc_scr[c, t] = _crt_fast(
+                        res, CRT_W_MOD, CRT_FRAC, PROD_MOD
+                    )
 
         @pl.when(j == n // g - 1)
         def _():
@@ -1689,10 +1709,13 @@ def blind_rotate_fs_mb(
     )(
         acc0,
         abar_t,
-        jnp.asarray(fst["w2f"]),
-        jnp.asarray(fst["w2fi"]),
-        jnp.asarray(fst["tlo"]),
-        jnp.asarray(fst["thi"]),
+        # 8-bit limb tables are bf16-exact (|limb| <= 128): halves the VMEM
+        # footprint of the largest kernel constants (w2f/w2fi are 2x
+        # [NP, N1, 2, N2, N2] — 33 MB in f32 at N=2048)
+        jnp.asarray(fst["w2f"], dtype=jnp.bfloat16),
+        jnp.asarray(fst["w2fi"], dtype=jnp.bfloat16),
+        jnp.asarray(fst["tlo"], dtype=jnp.bfloat16),
+        jnp.asarray(fst["thi"], dtype=jnp.bfloat16),
         bsk,
     )
     # [tiles, kp1, N1, N2, G] -> [Gp, kp1, N]
@@ -1728,7 +1751,10 @@ def bootstrap_mxu(
     if dsk.params.grouping > 1:
         bsk = keys[0] if keys is not None else mxu_server_key_fs(dsk)
         if g_tile is None:
-            g_tile = 8 if interpret else 256
+            # lane width of every tile array: the kernel's live set (fwd
+            # rows, digits, inverse accumulators) scales with N2 * g_tile,
+            # so larger rings take narrower tiles to stay inside VMEM
+            g_tile = 8 if interpret else (256 if dsk.params.N <= 1024 else 128)
         acc = blind_rotate_fs_mb(
             dsk.params, bsk, lwe_in, testv,
             g_tile=g_tile, interpret=interpret,

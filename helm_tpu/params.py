@@ -251,6 +251,38 @@ TEST_PARAMS_ARITH = TfheParams(
     message_bits=2,
 )
 
+TEST_PARAMS_LUT_MB = TfheParams(
+    name="test_tiny_lut_mb2",
+    n=16,
+    k=1,
+    N=128,
+    pbs_base_log=8,
+    pbs_level=2,
+    ks_base_log=4,
+    ks_level=4,
+    lwe_noise_std=0.0,
+    glwe_noise_std=0.0,
+    msg_space_log=4,
+    message_bits=3,
+    grouping=2,
+)
+
+TEST_PARAMS_ARITH_MB = TfheParams(
+    name="test_tiny_arith_mb2",
+    n=16,
+    k=1,
+    N=256,
+    pbs_base_log=8,
+    pbs_level=2,
+    ks_base_log=4,
+    ks_level=4,
+    lwe_noise_std=0.0,
+    glwe_noise_std=0.0,
+    msg_space_log=5,
+    message_bits=2,
+    grouping=2,
+)
+
 #: Small-but-noisy set for statistical noise tests.
 TEST_PARAMS_NOISY = TfheParams(
     name="test_tiny_noisy",
@@ -345,6 +377,47 @@ GATES_TPU_MB4 = TfheParams(
     grouping=4,
 )
 
+#: Multi-bit arithmetic set: ARITH_PARAMS with grouping 2 (the reference's
+#: arith mode is also multi-bit — PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_3,
+#: src/bin/helm.rs:81-88). Halves the blind-rotation steps (620 -> 310) and
+#: rides the frequency-in-sublanes MXU kernel; the (3^g-1)/(2g) = 2x grouped
+#: noise multiplier keeps per-PBS failure at 2^-49.3 with linear growth 17
+#: (bivariate 4x+y packing) — same margin as the single-bit set (2^-49.9).
+ARITH_TPU_MB2 = TfheParams(
+    name="arith_tpu_mb2",
+    n=620,
+    k=1,
+    N=2048,
+    pbs_base_log=7,
+    pbs_level=3,
+    ks_base_log=2,
+    ks_level=8,
+    lwe_noise_std=64.0,
+    glwe_noise_std=4.0,
+    msg_space_log=5,
+    message_bits=2,
+    grouping=2,
+)
+
+#: Multi-bit LUT set: LUT_PARAMS with grouping 2 and a wider/shallower
+#: gadget (base 2^9, level 2): 4 decomposition rows instead of 6 AND half
+#: the steps (700 -> 350). Per-PBS failure 2^-50.6 at linear growth 17.
+LUT_TPU_MB2 = TfheParams(
+    name="lut_tpu_mb2",
+    n=700,
+    k=1,
+    N=2048,
+    pbs_base_log=9,
+    pbs_level=2,
+    ks_base_log=2,
+    ks_level=8,
+    lwe_noise_std=64.0,
+    glwe_noise_std=4.0,
+    msg_space_log=4,
+    message_bits=3,
+    grouping=2,
+)
+
 TEST_PARAMS_MB = TfheParams(
     name="test_tiny_mb2",
     n=16,
@@ -391,6 +464,8 @@ ALL_PARAMS = {
         GATES_MB2,
         GATES_TPU_MB2,
         GATES_TPU_MB4,
+        ARITH_TPU_MB2,
+        LUT_TPU_MB2,
         TEST_PARAMS_MB,
     )
 }

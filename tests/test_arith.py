@@ -150,3 +150,34 @@ def test_euclidean_and_mmult_u8():
         exp = c.evaluate_arith(c.initialize_wire_map(nl.wire_set, inputs, default=0), 8)
         for w in outs:
             assert out[w] == exp[w], (path, w)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "pset",
+    [P.TEST_PARAMS_ARITH, P.TEST_PARAMS_ARITH_MB],
+    ids=["single-bit", "multi-bit-fs"],
+)
+def test_chi_squared_mxu_backend(pset):
+    """Arith mode on the fused MXU kernels (interpret on CPU): grouping 1
+    rides the gate-major kernel, grouping 2 the frequency-in-sublanes one —
+    the production ARITH_TPU_MB2 path at tiny sizes."""
+    from helm_tpu.engines import radix
+
+    radix.BACKEND[0] = "mxu"
+    try:
+        nl = read_verilog_file("benchmarks/netlists/chi_squared_arith.v", True)
+        e = ArithEngine("u8", params=pset, seed=6)
+        e.compile(nl)
+        c = Circuit.from_netlist(
+            read_verilog_file("benchmarks/netlists/chi_squared_arith.v", True)
+        )
+        inputs = {"n0": 2, "n1": 7, "n2": 9}
+        exp = c.evaluate_arith(
+            c.initialize_wire_map(nl.wire_set, inputs, default=0), 8
+        )
+        out = e.decrypt_outputs(e.evaluate(e.encrypt_inputs(inputs)))
+        for w in ("alpha", "beta1", "beta2", "beta3"):
+            assert out[w] == exp[w], w
+    finally:
+        radix.BACKEND[0] = "jnp"

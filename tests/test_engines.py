@@ -417,3 +417,19 @@ def test_fused_scan_sequential_s27():
     got = e.decrypt_outputs(wires)
     for w in got:
         assert got[w] == bool(wm[w]), w
+
+
+def test_engine_mxu_backend_lut_mode():
+    """LUT mode on the MXU kernels: per-slot test polynomials flow through
+    the fused kernel (testv [S, N]), single- and multi-bit variants."""
+    nl = read_verilog_file("benchmarks/netlists/8-bit-adder-lut-3-1.v")
+    rng = np.random.default_rng(23)
+    inputs = {w: bool(rng.integers(0, 2)) for w in nl.inputs}
+    c = Circuit.from_netlist(nl)
+    exp = c.evaluate(c.initialize_wire_map(nl.wire_set, inputs))
+    for params in (P.TEST_PARAMS_LUT, P.TEST_PARAMS_LUT_MB):
+        e = BooleanEngine(mode="lut", params=params, seed=29, backend="mxu")
+        e.compile(nl)
+        got = e.decrypt_outputs(e.evaluate(e.encrypt_inputs(inputs)))
+        for w in got:
+            assert got[w] == int(exp[w]), (params.name, w)

@@ -181,3 +181,80 @@ def test_mxu_multibit_bootstrap_truth_table(keys_mb):
     )
     got = list(lwe.decode_bool(lwe.decrypt_phase(ck, out)))
     assert got == [a and b for a, b in combos]
+
+
+@pytest.fixture(scope="module")
+def keys_n2048():
+    """Tiny-n set on the N=2048 ring: its prime set includes 65537, whose
+    balanced residues reach +-2^15 (hi limb exactly 128 — the int16-limb /
+    bf16-exact boundary case for the MXU matmul path)."""
+    p = P.TfheParams(
+        name="test_tiny_n2048",
+        n=8,
+        k=1,
+        N=2048,
+        pbs_base_log=8,
+        pbs_level=2,
+        ks_base_log=4,
+        ks_level=4,
+        lwe_noise_std=0.0,
+        glwe_noise_std=0.0,
+        msg_space_log=5,
+        message_bits=2,
+    )
+    ck = lwe.keygen(p, seed=43)
+    dsk = pbs_jnp.DeviceServerKey.from_host(server_key.gen_server_key(ck))
+    return p, ck, dsk
+
+
+def test_mxu_blind_rotate_n2048_matches_jnp(keys_n2048):
+    from helm_tpu.ops import mxu_pbs
+
+    p, ck, dsk = keys_n2048
+    bits = np.array([1, 0, 1, 1, 0, 0, 1, 0], bool)
+    ct = lwe.encrypt(ck, lwe.encode_bool(bits))
+    testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
+    ref = np.asarray(jax.jit(pbs_jnp.blind_rotate)(dsk, jnp.asarray(ct), testv))
+    bsk_mxu, bsk_mxu_sh = mxu_pbs.mxu_server_key(dsk)
+    got = np.asarray(
+        mxu_pbs.blind_rotate_mxu(
+            p, bsk_mxu, bsk_mxu_sh, jnp.asarray(ct), testv,
+            g_tile=1, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fs_multibit_n2048_matches_jnp(keys_n2048):
+    from helm_tpu.ops import mxu_pbs
+
+    p = P.TfheParams(
+        name="test_tiny_mb2_n2048",
+        n=8,
+        k=1,
+        N=2048,
+        pbs_base_log=8,
+        pbs_level=2,
+        ks_base_log=4,
+        ks_level=4,
+        lwe_noise_std=0.0,
+        glwe_noise_std=0.0,
+        msg_space_log=5,
+        message_bits=2,
+        grouping=2,
+    )
+    ck = lwe.keygen(p, seed=44)
+    dsk = pbs_jnp.DeviceServerKey.from_host(server_key.gen_server_key(ck))
+    bits = np.array([0, 1, 1, 0, 1, 0, 0, 1], bool)
+    ct = lwe.encrypt(ck, lwe.encode_bool(bits))
+    testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
+    ref = np.asarray(
+        jax.jit(pbs_jnp.blind_rotate_multibit)(dsk, jnp.asarray(ct), testv)
+    )
+    bsk_fs = mxu_pbs.mxu_server_key_fs(dsk)
+    got = np.asarray(
+        mxu_pbs.blind_rotate_fs_mb(
+            p, bsk_fs, jnp.asarray(ct), testv, g_tile=8, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, ref)

@@ -1,5 +1,9 @@
-"""Run the remaining BASELINE.json configs on the real chip, production params."""
-import sys, pathlib, time
+"""Run the remaining BASELINE.json configs on the real chip, production params.
+
+Env: ONLY=substring (run matching configs), BACKEND=jnp|pallas|mxu,
+PARAMS=<name in helm_tpu.params> (overrides the per-config default),
+FUSE=1 (fuse levels into one lax.scan launch)."""
+import os, sys, pathlib, time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import numpy as np
 from helm_tpu import params as P
@@ -8,10 +12,20 @@ from helm_tpu.circuit.graph import Circuit
 from helm_tpu.engines.boolean import BooleanEngine
 from helm_tpu.io import csv_io
 
+ONLY = os.environ.get("ONLY", "")
+BACKEND = os.environ.get("BACKEND", "jnp")
+POVR = getattr(P, os.environ["PARAMS"]) if os.environ.get("PARAMS") else None
+FUSE = bool(int(os.environ.get("FUSE", "0")))
+
 def run(name, path, mode, params, inputs, cycles=1):
+    if ONLY and ONLY not in name:
+        return
+    params = POVR or params
     nl = read_verilog_file(path)
     t0 = time.time()
-    e = BooleanEngine(mode=mode, params=params, seed=5)
+    e = BooleanEngine(
+        mode=mode, params=params, seed=5, backend=BACKEND, fuse_levels=FUSE
+    )
     kg = time.time() - t0
     e.compile(nl)
     wires = e.encrypt_inputs(inputs)

@@ -13,7 +13,8 @@ if os.environ.get("BACKEND", "jnp") == "mxu":
     radix.BACKEND[0] = "mxu"
 nl = read_verilog_file("benchmarks/netlists/chi_squared_arith.v", True)
 t0 = time.time()
-e = ArithEngine("u32", seed=11)  # production ARITH_PARAMS
+pset = getattr(P, os.environ["PARAMS"]) if os.environ.get("PARAMS") else None
+e = ArithEngine("u32", params=pset, seed=11)  # default: production ARITH_PARAMS
 print(f"KeyGen {time.time()-t0:.1f}s", flush=True)
 e.compile(nl)
 inputs = {"n0": 10, "n1": 20, "n2": 30}
