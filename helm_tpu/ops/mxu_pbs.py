@@ -867,8 +867,8 @@ def _make_kernel_fs_mb(
         abar_ref,  # [1, n, G] int32
         w2f_ref,  # [NP, N1, 2, N2, N2] fwd matmul with twist folded in
         w2fi_ref,  # [NP, N1, 2, N2, N2] inv matmul with twist folded in
-        tlo_ref,  # [NP, N1, 2, N2, LOW] monomial one-hot limb tables
-        thi_ref,  # [NP, N1, 2, N2, 2N/LOW]
+        tlo_ref,  # [NP, 2, N1*N2, LOW] monomial one-hot limb tables
+        thi_ref,  # [NP, 2, N1*N2, 2N/LOW]
         bsk_ref,  # f32 [1, N2, nv*rows*kp1*NP*N1], balanced |B| <= p//2
         out_ref,  # [kp1, N1, N2, G]
         acc_scr,  # [kp1, N1, N2, G]
@@ -967,41 +967,50 @@ def _make_kernel_fs_mb(
                     fwd_pi[r][t] = f[:, r * G : (r + 1) * G]
 
             conv_pi = [[None] * N1 for _ in range(kp1)]
-            for t in range(N1 if "noptw" not in ablate else 0):
-                # monomial NTT tiles for (pi, t), balanced f32
-                Mt = []
+            if "noptw" not in ablate:
+                # monomial NTTs for ALL tiles at once: the flat [N1*N2, .]
+                # tables turn 8 skinny one-hot matmuls into one per limb
+                Mall = []  # [i] -> [N1*N2, G] balanced f32
                 for i in range(g):
                     if "noladder" in ablate:
-                        Mt.append(
+                        Mall.append(
                             jnp.broadcast_to(
-                                tlo_ref[pi, t, 0][:, 1:2].astype(jnp.float32)
+                                tlo_ref[pi, 0][:, 1:2].astype(jnp.float32)
                                 + 256.0
-                                * tlo_ref[pi, t, 1][:, 1:2].astype(jnp.float32),
-                                (N2, G),
+                                * tlo_ref[pi, 1][:, 1:2].astype(jnp.float32),
+                                (N1 * N2, G),
                             )
                         )
                         continue
                     oh_lo, oh_hi = ohs[i]
-                    l0 = ohmm(tlo_ref[pi, t, 0], oh_lo)  # |.| <= 128
-                    l1 = ohmm(tlo_ref[pi, t, 1], oh_lo)
-                    hv = ohmm(thi_ref[pi, t, 0], oh_hi) + 256.0 * ohmm(
-                        thi_ref[pi, t, 1], oh_hi
+                    l0 = ohmm(tlo_ref[pi, 0], oh_lo)  # |.| <= 128
+                    l1 = ohmm(tlo_ref[pi, 1], oh_lo)
+                    hv = ohmm(thi_ref[pi, 0], oh_hi) + 256.0 * ohmm(
+                        thi_ref[pi, 1], oh_hi
                     )  # the selected value itself: |hv| <= p//2
-                    Mt.append(
+                    Mall.append(
                         _redfbt(
                             l0 * hv + 256.0 * _redfbt(l1 * hv, p, ip),
                             p, ip,
                         )
                     )
-                # subset polys P_v = prod_{i in v} (M_i - 1) as 8-bit
-                # limb pairs (only this tile's — not all (pi, t) at once)
-                pvt = {}
+                # subset polys P_v = prod_{i in v} (M_i - 1), batched over
+                # tiles, stored as 8-bit limb pairs
+                pva = {}
                 for v in range(1, nv):
                     idxs = [i for i in range(g) if (v >> i) & 1]
-                    cur = Mt[idxs[0]] - 1.0
+                    cur = Mall[idxs[0]] - 1.0
                     for i in idxs[1:]:
-                        cur = _fgmul(cur, Mt[i] - 1.0, p, ip)
-                    pvt[v] = _split256(cur)
+                        cur = _fgmul(cur, Mall[i] - 1.0, p, ip)
+                    pva[v] = _split256(cur)
+            for t in range(N1 if "noptw" not in ablate else 0):
+                pvt = {
+                    v: (
+                        pva[v][0][t * N2 : (t + 1) * N2],
+                        pva[v][1][t * N2 : (t + 1) * N2],
+                    )
+                    for v in range(1, nv)
+                }
 
                 # pointwise, r outer: each fwd row limb-split ONCE for
                 # all nv*kp1 terms
@@ -1539,8 +1548,10 @@ def _fs_tables(N: int):
 
     LOW = min(64, 2 * N)
     HB = max(1, (2 * N) // LOW)
-    tlo = np.zeros((NP, N1, 2, N2, LOW), np.float32)
-    thi = np.zeros((NP, N1, 2, N2, HB), np.float32)
+    # flat row layout (row = fA*N2 + jb) so the kernel selects monomials
+    # for ALL 8 tiles with one matmul per (prime, limb)
+    tlo = np.zeros((NP, 2, N1 * N2, LOW), np.float32)
+    thi = np.zeros((NP, 2, N1 * N2, HB), np.float32)
     # e_f per fs position: f_std = perm[fa*N2 + jb], e_f = 2*bitrev(f)+1
     e_f = np.zeros((N1, N2), np.int64)
     for fa in range(N1):
@@ -1570,8 +1581,9 @@ def _fs_tables(N: int):
             hi_v = wpow[
                 (LOW * np.arange(HB)[None, :] * ef[:, None]) % (2 * N)
             ]
-            tlo[pi, fa, 0], tlo[pi, fa, 1] = bal_split(lo_v, p)
-            thi[pi, fa, 0], thi[pi, fa, 1] = bal_split(hi_v, p)
+            rows = slice(fa * N2, (fa + 1) * N2)
+            tlo[pi, 0, rows], tlo[pi, 1, rows] = bal_split(lo_v, p)
+            thi[pi, 0, rows], thi[pi, 1, rows] = bal_split(hi_v, p)
 
     w2 = (
         t["w2_limbs"][:, 0].astype(np.int64)
