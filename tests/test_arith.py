@@ -181,3 +181,31 @@ def test_chi_squared_mxu_backend(pset):
             assert out[w] == exp[w], w
     finally:
         radix.BACKEND[0] = "jnp"
+
+
+def test_gaussian_blur_u8():
+    """Gaussian blur (RUNNING.md blur family): weighted window sums via
+    plain shifts, /16 via shr."""
+    nl = read_verilog_file("benchmarks/netlists/gaussian_blur_arith.v", True)
+    e = ArithEngine("u8", params=P.TEST_PARAMS_ARITH, seed=15)
+    e.compile(nl)
+    rng = np.random.default_rng(8)
+    # pixels < 16 so the weighted sum (max 16*15) stays inside u8 — the
+    # direct-formula cross-check below assumes no mod-256 wrap
+    pix = {
+        f"p{r}{c}": int(rng.integers(0, 16)) for r in range(3) for c in range(4)
+    }
+    out = e.decrypt_outputs(e.evaluate(e.encrypt_inputs(pix)))
+    c = Circuit.from_netlist(
+        read_verilog_file("benchmarks/netlists/gaussian_blur_arith.v", True)
+    )
+    exp = c.evaluate_arith(c.initialize_wire_map(nl.wire_set, pix, default=0), 8)
+    for w in ("g1", "g2"):
+        assert out[w] == exp[w], w
+    # cross-check the oracle against the direct formula
+    k = [[1, 2, 1], [2, 4, 2], [1, 2, 1]]
+    for name, c0 in (("g1", 0), ("g2", 1)):
+        acc = sum(
+            k[r][cc] * pix[f"p{r}{cc + c0}"] for r in range(3) for cc in range(3)
+        )
+        assert exp[name] == (acc // 16) % 256, name
