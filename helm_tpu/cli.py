@@ -103,6 +103,12 @@ def build_argparser() -> argparse.ArgumentParser:
         help="evaluate all levels in one jitted lax.scan launch (latency "
         "mode for narrow/deep circuits; gates and LUT modes)",
     )
+    ap.add_argument(
+        "--multihost",
+        metavar="COORD:PORT,NPROCS,PID",
+        help="initialize jax.distributed for multi-host runs (combine with "
+        "--mesh N over the global device count)",
+    )
     return ap
 
 
@@ -117,6 +123,11 @@ def _print_outputs(outputs: dict, verbose: bool) -> None:
 def main(argv=None) -> int:
     ascii_art.print_art()
     args = build_argparser().parse_args(argv)
+
+    if args.multihost:
+        from .parallel.distributed import init_multihost, parse_multihost_flag
+
+        init_multihost(*parse_multihost_flag(args.multihost))
 
     if args.arithmetic and args.cycles > 1:
         raise SystemExit(

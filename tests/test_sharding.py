@@ -107,3 +107,11 @@ def test_sharded_arith_matches_oracle():
         from helm_tpu.engines import radix
 
         radix.BATCH_SHARD[0] = None
+
+
+def test_multihost_flag_parsing():
+    from helm_tpu.parallel.distributed import parse_multihost_flag
+
+    assert parse_multihost_flag("10.0.0.1:8476,4,2") == ("10.0.0.1:8476", 4, 2)
+    with pytest.raises(ValueError):
+        parse_multihost_flag("bad")
