@@ -84,12 +84,29 @@ def _bootstrap_sharded(shard, dsk, pre, tv):
 
 
 def _bootstrap_multi(dsk, pres: list, tvs: list):
-    """One launch for several (pre, testv) groups of equal width."""
+    """One launch for several (pre, testv) groups of equal width.
+
+    Batch widths are bucket-padded to powers of two (>= one kernel tile on
+    TPU): radix ops launch at many distinct widths, and every distinct
+    width would otherwise re-trace and re-compile the PBS program (~2-3
+    minutes per shape for the fused kernels on the tunneled TPU). Padding
+    slots bootstrap trivial zeros and are sliced off after."""
     sizes = [p.shape[0] for p in pres]
     pre = jnp.concatenate(pres)
     tv = jnp.concatenate(
         [jnp.broadcast_to(t, (s, t.shape[-1])) for s, t in zip(sizes, tvs)]
     )
+    total = pre.shape[0]
+    floor = 8 if jax.default_backend() == "cpu" else 128
+    bucket = max(floor, 1 << (total - 1).bit_length())
+    if bucket != total:
+        pad = bucket - total
+        pre = jnp.concatenate(
+            [pre, jnp.zeros((pad, pre.shape[1]), pre.dtype)]
+        )
+        tv = jnp.concatenate(
+            [tv, jnp.broadcast_to(tv[:1], (pad, tv.shape[1]))]
+        )
     if BATCH_SHARD[0] is not None:
         out = _bootstrap_sharded(BATCH_SHARD[0], dsk, pre, tv)
     elif BACKEND[0] == "mxu":
