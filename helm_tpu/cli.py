@@ -59,6 +59,14 @@ def build_argparser() -> argparse.ArgumentParser:
         help="Input wire values (-w wire1 value1 [width1] ...)",
     )
     ap.add_argument("-i", "--input-wires-file", metavar="FILE")
+    ap.add_argument(
+        "-I",
+        "--batch-input-files",
+        nargs="+",
+        metavar="FILE",
+        help="several input CSVs evaluated together in one batched pass "
+        "(serving shape; gates/LUT modes)",
+    )
     ap.add_argument("-o", "--output-wires-file", metavar="FILE")
     ap.add_argument(
         "-a", "--arithmetic", choices=["u8", "u16", "u32", "u64", "u128"]
@@ -150,7 +158,13 @@ def _run_boolean(args, netlist) -> int:
 
     mode = "lut" if netlist.has_luts else "gates"
     print(f" -- {'LUTs' if mode == 'lut' else 'Gates'} mode --")
-    input_wire_map = get_input_wire_map(args, "bool")
+    if args.batch_input_files:
+        input_wire_map = [
+            csv_io.read_input_wires(f, "bool") for f in args.batch_input_files
+        ]
+        print(f"[✓] Batched input wires: {len(input_wire_map)} vectors.")
+    else:
+        input_wire_map = get_input_wire_map(args, "bool")
 
     start = time.time()
     if args.params:
@@ -181,7 +195,8 @@ def _run_boolean(args, netlist) -> int:
 
     start = time.time()
     wires = engine.encrypt_inputs(input_wire_map)
-    valid = engine.init_ready() if engine.has_ready() else None
+    nbatch = len(input_wire_map) if isinstance(input_wire_map, list) else None
+    valid = engine.init_ready(batch=nbatch) if engine.has_ready() else None
     print(f"Encryption done in {time.time() - start} seconds.")
 
     ready_flag = False
@@ -210,8 +225,17 @@ def _run_boolean(args, netlist) -> int:
         outputs = engine.decrypt_outputs(valid, from_valid=True)
     else:
         outputs = engine.decrypt_outputs(wires)
-    _print_outputs(outputs, args.verbose)
-    csv_io.write_output_wires(args.output_wires_file, outputs)
+    if isinstance(outputs, list):
+        for bi, out in enumerate(outputs):
+            print(f" [vector {bi}: {args.batch_input_files[bi]}]")
+            _print_outputs(out, args.verbose)
+            if args.output_wires_file:
+                csv_io.write_output_wires(
+                    f"{args.output_wires_file}.{bi}", out
+                )
+    else:
+        _print_outputs(outputs, args.verbose)
+        csv_io.write_output_wires(args.output_wires_file, outputs)
     print(f"Decryption done in {time.time() - start} seconds.")
     return 0
 

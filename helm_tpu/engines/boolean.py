@@ -44,10 +44,16 @@ def _level_body(
     lin_dst,
 ):
     n = dsk.params.n
-    ins = wires[slot_in]  # [S, 3, n+1]
+    # wires: [W, n+1] or [B, W, n+1] (batched serving shape: B independent
+    # input vectors through the same circuit — every PBS launch widens by B)
+    ins = jnp.take(wires, slot_in, axis=-2)  # [.., S, 3, n+1]
     coef = slot_coef[..., None].astype(jnp.uint32)
-    pre = jnp.sum(ins * coef, axis=1, dtype=jnp.uint32)
-    pre = pre.at[:, n].add(slot_off)
+    pre = jnp.sum(ins * coef, axis=-2, dtype=jnp.uint32)
+    pre = pre.at[..., n].add(slot_off)
+    lead = pre.shape[:-2]
+    pre = pre.reshape(-1, n + 1)
+    if lead and testv.shape[0] != 1 and testv.shape[0] != pre.shape[0]:
+        testv = jnp.tile(testv, (pre.shape[0] // testv.shape[0], 1))
     # pallas kernels run per-chip; interpret on CPU so the engine tests
     # cover these paths too
     interp = jax.default_backend() == "cpu"
@@ -89,13 +95,16 @@ def _level_body(
             out_specs=_P(axis),
             check_vma=False,  # pallas_call out_shape carries no vma info
         )(dsk, pre, testv)
-    wires = wires.at[slot_dst].set(outs)
-    mval = outs[mux_pairs[:, 0]] + outs[mux_pairs[:, 1]]
-    mval = mval.at[:, n].add(jnp.uint32(Q8))
-    wires = wires.at[mux_dst].set(mval)
-    lv = wires[lin_src] * lin_coef[:, None].astype(jnp.uint32)
-    lv = lv.at[:, n].add(lin_off)
-    return wires.at[lin_dst].set(lv)
+    outs = outs.reshape(lead + (-1, n + 1))
+    wires = wires.at[..., slot_dst, :].set(outs)
+    mval = jnp.take(outs, mux_pairs[:, 0], axis=-2) + jnp.take(
+        outs, mux_pairs[:, 1], axis=-2
+    )
+    mval = mval.at[..., n].add(jnp.uint32(Q8))
+    wires = wires.at[..., mux_dst, :].set(mval)
+    lv = jnp.take(wires, lin_src, axis=-2) * lin_coef[:, None].astype(jnp.uint32)
+    lv = lv.at[..., n].add(lin_off)
+    return wires.at[..., lin_dst, :].set(lv)
 
 
 _pbs_level_step = partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(4,))(
@@ -147,33 +156,43 @@ def _scan_eval_step(backend, shard, g_tile, dsk, wires, levels, testv_base):
 
 @partial(jax.jit, donate_argnums=(0,))
 def _lin_level_step(wires, lin_src, lin_coef, lin_off, lin_dst):
-    n1 = wires.shape[1] - 1
-    lv = wires[lin_src] * lin_coef[:, None].astype(jnp.uint32)
-    lv = lv.at[:, n1].add(lin_off)
-    return wires.at[lin_dst].set(lv)
+    n1 = wires.shape[-1] - 1
+    lv = jnp.take(wires, lin_src, axis=-2) * lin_coef[:, None].astype(jnp.uint32)
+    lv = lv.at[..., n1].add(lin_off)
+    return wires.at[..., lin_dst, :].set(lv)
 
 
 @jax.jit
 def _ready_step_gates(dsk, ready, new, valid, testv):
-    """valid <- mux(READY, new, valid), batched as one PBS launch."""
+    """valid <- mux(READY, new, valid), batched as one PBS launch.
+
+    ready: [.., n+1]; new/valid: [.., n_out, n+1] (optional leading batch)."""
     n = dsk.params.n
     off = jnp.uint32((-Q8) % Q)
-    pre1 = (ready[None] + new).at[:, n].add(off)
-    pre2 = (valid - ready[None]).at[:, n].add(off)
-    outs = pbs_jnp.bootstrap(dsk, jnp.concatenate([pre1, pre2]), testv)
-    s1, s2 = outs[: new.shape[0]], outs[new.shape[0] :]
-    return (s1 + s2).at[:, n].add(jnp.uint32(Q8))
+    pre1 = (ready[..., None, :] + new).at[..., n].add(off)
+    pre2 = (valid - ready[..., None, :]).at[..., n].add(off)
+    both = jnp.concatenate([pre1, pre2], axis=-2)
+    outs = pbs_jnp.bootstrap(dsk, both.reshape(-1, n + 1), testv).reshape(
+        both.shape
+    )
+    k = new.shape[-2]
+    s1, s2 = outs[..., :k, :], outs[..., k:, :]
+    return (s1 + s2).at[..., n].add(jnp.uint32(Q8))
 
 
 @jax.jit
 def _ready_step_lut(dsk, ready, new, valid, testv_and, delta):
     """valid <- new*READY + valid*(1-READY) (circuit.rs:1012-1030)."""
     n = dsk.params.n
-    not_ready = (jnp.uint32(0) - ready).at[n].add(delta)
-    pre1 = 2 * new + ready[None]
-    pre2 = 2 * valid + not_ready[None]
-    outs = pbs_jnp.bootstrap(dsk, jnp.concatenate([pre1, pre2]), testv_and)
-    return outs[: new.shape[0]] + outs[new.shape[0] :]
+    not_ready = (jnp.uint32(0) - ready).at[..., n].add(delta)
+    pre1 = 2 * new + ready[..., None, :]
+    pre2 = 2 * valid + not_ready[..., None, :]
+    both = jnp.concatenate([pre1, pre2], axis=-2)
+    outs = pbs_jnp.bootstrap(dsk, both.reshape(-1, n + 1), testv_and).reshape(
+        both.shape
+    )
+    k = new.shape[-2]
+    return outs[..., :k, :] + outs[..., k:, :]
 
 
 class BooleanEngine:
@@ -305,9 +324,7 @@ class BooleanEngine:
             return lwe.encode_bool(bool(v))
         return lwe.encode_msg(self.params, int(bool(v)))
 
-    def encrypt_inputs(self, input_wire_map: dict) -> jax.Array:
-        """Reference EvalCircuit::encrypt_inputs (circuit.rs:450-480)."""
-        assert self.plan is not None
+    def _encrypt_host(self, input_wire_map: dict) -> np.ndarray:
         p = self.params
         zero = self._encode(False)
         wires = np.zeros((self.plan.num_wires, p.n + 1), dtype=np.uint32)
@@ -330,7 +347,20 @@ class BooleanEngine:
             wires[self.plan.wire_index[w]] = lwe.encrypt(
                 self.client_key, self._encode(False)
             )
-        dev = jnp.asarray(wires)
+        return wires
+
+    def encrypt_inputs(self, input_wire_map) -> jax.Array:
+        """Reference EvalCircuit::encrypt_inputs (circuit.rs:450-480).
+
+        A list of input maps encrypts to the batched serving shape
+        [B, W, n+1]: every level's PBS launch then bootstraps B*S slots —
+        the throughput shape for narrow circuits, with no reference analog."""
+        assert self.plan is not None
+        if isinstance(input_wire_map, (list, tuple)):
+            arr = np.stack([self._encrypt_host(m) for m in input_wire_map])
+        else:
+            arr = self._encrypt_host(input_wire_map)
+        dev = jnp.asarray(arr)
         if self._repl_shard is not None:
             dev = jax.device_put(dev, self._repl_shard)
         return dev
@@ -398,12 +428,13 @@ class BooleanEngine:
     def has_ready(self) -> bool:
         return self.plan is not None and "READY" in self.plan.wire_index
 
-    def init_ready(self) -> jax.Array:
+    def init_ready(self, batch: int | None = None) -> jax.Array:
         """Trivial-zero latches for output wires (circuit.rs:482-490)."""
         p = self.params
         n_out = len(self.plan.output_wires)
-        valid = np.zeros((n_out, p.n + 1), dtype=np.uint32)
-        valid[:, p.n] = self._encode(False)
+        shape = (n_out, p.n + 1) if batch is None else (batch, n_out, p.n + 1)
+        valid = np.zeros(shape, dtype=np.uint32)
+        valid[..., p.n] = self._encode(False)
         return jnp.asarray(valid)
 
     def evaluate_ready(self, wires: jax.Array, valid: jax.Array) -> jax.Array:
@@ -411,8 +442,8 @@ class BooleanEngine:
             [self.plan.wire_index[w] for w in self.plan.output_wires],
             dtype=jnp.int32,
         )
-        ready = wires[self.plan.wire_index["READY"]]
-        new = wires[idx]
+        ready = wires[..., self.plan.wire_index["READY"], :]
+        new = jnp.take(wires, idx, axis=-2)
         if self.mode == "gates":
             return _ready_step_gates(self.dsk, ready, new, valid, self._testv_gates)
         return _ready_step_lut(
@@ -425,8 +456,13 @@ class BooleanEngine:
         )
 
     # -- decryption ----------------------------------------------------
-    def decrypt_outputs(self, wires: jax.Array, from_valid: bool = False) -> dict:
+    def decrypt_outputs(self, wires: jax.Array, from_valid: bool = False):
         host = np.asarray(wires)
+        if host.ndim == 3:  # batched: one dict per input vector
+            return [self._decrypt_outputs_one(h, from_valid) for h in host]
+        return self._decrypt_outputs_one(host, from_valid)
+
+    def _decrypt_outputs_one(self, host: np.ndarray, from_valid: bool) -> dict:
         out = {}
         for i, w in enumerate(self.plan.output_wires):
             row = host[i] if from_valid else host[self.plan.wire_index[w]]
@@ -437,10 +473,15 @@ class BooleanEngine:
                 out[w] = int(lwe.decode_msg(self.params, ph))
         return out
 
-    def decrypt_all_wires(self, wires: jax.Array) -> dict:
+    def decrypt_all_wires(self, wires: jax.Array):
         """Every wire, not just outputs — the reference tests assert equality
         on all wires (tests/circuit_test.rs:91-93)."""
         host = np.asarray(wires)
+        if host.ndim == 3:
+            return [self._decrypt_all_one(h) for h in host]
+        return self._decrypt_all_one(host)
+
+    def _decrypt_all_one(self, host: np.ndarray) -> dict:
         out = {}
         for w, i in self.plan.wire_index.items():
             ph = lwe.decrypt_phase(self.client_key, host[i])

@@ -433,3 +433,66 @@ def test_engine_mxu_backend_lut_mode():
         got = e.decrypt_outputs(e.evaluate(e.encrypt_inputs(inputs)))
         for w in got:
             assert got[w] == int(exp[w]), (params.name, w)
+
+
+def test_batched_serving_shape():
+    """A list of input maps encrypts to [B, W, n+1] and every level's PBS
+    launch widens by B; per-vector results equal individual evaluations."""
+    nl = read_verilog_file("benchmarks/netlists/2-bit-adder.v")
+    rng = np.random.default_rng(31)
+    batches = [
+        {w: bool(rng.integers(0, 2)) for w in nl.inputs} for _ in range(3)
+    ]
+    for backend in ("jnp", "mxu"):
+        params = P.TEST_PARAMS if backend == "jnp" else P.TEST_PARAMS_MB
+        e = BooleanEngine(mode="gates", params=params, seed=61, backend=backend)
+        e.compile(nl)
+        outs = e.decrypt_outputs(e.evaluate(e.encrypt_inputs(batches)))
+        assert isinstance(outs, list) and len(outs) == 3
+        for i, inp in enumerate(batches):
+            single = e.decrypt_outputs(e.evaluate(e.encrypt_inputs(inp)))
+            assert outs[i] == single, (backend, i)
+
+
+def test_batched_lut_mode():
+    """Batched serving shape in LUT mode (per-slot test polys tile by B)."""
+    nl = read_verilog_file("benchmarks/netlists/8-bit-adder-lut-3-1.v")
+    rng = np.random.default_rng(33)
+    batches = [
+        {w: bool(rng.integers(0, 2)) for w in nl.inputs} for _ in range(2)
+    ]
+    e = BooleanEngine(mode="lut", params=P.TEST_PARAMS_LUT, seed=62)
+    e.compile(nl)
+    outs = e.decrypt_outputs(e.evaluate(e.encrypt_inputs(batches)))
+    c = Circuit.from_netlist(nl)
+    for i, inp in enumerate(batches):
+        exp = c.evaluate(c.initialize_wire_map(nl.wire_set, inp))
+        for w in outs[i]:
+            assert outs[i][w] == int(exp[w]), (i, w)
+
+
+def test_batched_sequential_ready():
+    """Batched multi-cycle evaluation with the READY latching protocol."""
+    nl = read_verilog_file("benchmarks/netlists/s27.v")
+    rng = np.random.default_rng(35)
+    batches = [
+        {w: bool(rng.integers(0, 2)) for w in nl.inputs if w not in nl.dff_outputs}
+        for _ in range(2)
+    ]
+    e = BooleanEngine(mode="gates", params=P.TEST_PARAMS, seed=63)
+    e.compile(nl)
+    cycles = 3
+    wires = e.encrypt_inputs(batches)
+    valid = e.init_ready(batch=2) if e.has_ready() else None
+    for _ in range(cycles):
+        wires = e.evaluate(wires)
+        if valid is not None:
+            valid = e.evaluate_ready(wires, valid)
+    outs = e.decrypt_outputs(wires)
+    for i, inp in enumerate(batches):
+        es = BooleanEngine(mode="gates", params=P.TEST_PARAMS, seed=63)
+        es.compile(nl)
+        ws = es.encrypt_inputs(inp)
+        for _ in range(cycles):
+            ws = es.evaluate(ws)
+        assert outs[i] == es.decrypt_outputs(ws), i
