@@ -880,8 +880,15 @@ def _make_kernel_fs_mb(
             acc_scr[...] = acc0_ref[0]
 
         def col(ref2d, c, width=G):
-            # static [N2, 1] column -> broadcast across gate lanes
-            return jnp.broadcast_to(ref2d[:, c : c + 1], (N2, width))
+            # static [N2, 1] column -> broadcast across gate lanes.
+            # HELM_TPU_FS_IMPLICIT_COL=1 leaves the broadcast to the
+            # consuming multiply (A/B probe for the BSK-load stage).
+            s = ref2d[:, c : c + 1]
+            if "implcol" in ablate or os.environ.get(
+                "HELM_TPU_FS_IMPLICIT_COL"
+            ) == "1":
+                return s
+            return jnp.broadcast_to(s, (N2, width))
 
         # --- per-gate one-hot selectors for NTT(X^a): X^a =
         # X^(a%LOW) * X^(LOW*(a/LOW)); each factor is a column select from
