@@ -21,7 +21,13 @@ e = BooleanEngine(
 print(f"KeyGen {time.time()-t0:.1f}s", flush=True)
 e.compile(nl)
 rng = np.random.default_rng(7)
-inputs = {w: bool(rng.integers(0, 2)) for w in nl.inputs}
+B = int(os.environ.get("BATCH", "0"))  # 0 = single vector
+if B:
+    inputs = [
+        {w: bool(rng.integers(0, 2)) for w in nl.inputs} for _ in range(B)
+    ]
+else:
+    inputs = {w: bool(rng.integers(0, 2)) for w in nl.inputs}
 wires = e.encrypt_inputs(inputs)
 t0 = time.time()
 wires = e.evaluate(wires)
@@ -33,14 +39,23 @@ t0 = time.time()
 wires2 = e.evaluate(wires2)
 _ = np.asarray(wires2)
 dt = time.time() - t0
+batch_note = f", batch={B} ({dt / B:.3f}s/vector)" if B else ""
 print(
     f"{path} steady-state encrypted eval: {dt:.3f}s "
-    f"({pset.name}, backend={backend})",
+    f"({pset.name}, backend={backend}{batch_note})",
     flush=True,
 )
 # correctness
 c = Circuit.from_netlist(read_verilog_file(path))
-exp = c.evaluate(c.initialize_wire_map(nl.wire_set, inputs))
 out = e.decrypt_outputs(wires2)
-ok = all(out[w] == exp[w] for w in out)
+if B:
+    ok = all(
+        all(out[i][w] == v for w, v in
+            ((w, c.evaluate(c.initialize_wire_map(nl.wire_set, inputs[i]))[w])
+             for w in out[i]))
+        for i in range(B)
+    )
+else:
+    exp = c.evaluate(c.initialize_wire_map(nl.wire_set, inputs))
+    ok = all(out[w] == exp[w] for w in out)
 print("outputs correct:", ok, flush=True)
