@@ -116,6 +116,41 @@ class ArithEngine:
                     )
                     wires = wires.at[dst].set(wires[src])
                     continue
+                if t == GateType.MULT:
+                    # ct (x) pt multiplies (numeric-literal operand on
+                    # either side — mult commutes) take the cheap
+                    # binary-expansion path; power-of-two constants are
+                    # pure block relabels with no bootstraps at all
+                    plain = [
+                        g
+                        for g in gs
+                        if _is_numeric(g.inputs[0]) != _is_numeric(g.inputs[1])
+                    ]
+                    if plain:
+                        gs = [g for g in gs if g not in plain]
+                        byc: dict[int, list] = {}
+                        for g in plain:
+                            ci, xi = (
+                                (0, 1) if _is_numeric(g.inputs[0]) else (1, 0)
+                            )
+                            byc.setdefault(int(g.inputs[ci]), []).append(
+                                (g, xi)
+                            )
+                        for cval, items in byc.items():
+                            x = jnp.stack(
+                                [
+                                    wires[self.wire_index[g.inputs[xi]]]
+                                    for g, xi in items
+                                ]
+                            )
+                            res = ops.mul_plain(x, cval)
+                            dst = jnp.asarray(
+                                [self.wire_index[g.output] for g, _ in items],
+                                dtype=jnp.int32,
+                            )
+                            wires = wires.at[dst].set(res)
+                        if not gs:
+                            continue
                 B = len(gs)
                 xs = [self._opnd(wires, g.inputs[0], B) for g in gs]
                 ys = [self._opnd(wires, g.inputs[1], B) for g in gs]

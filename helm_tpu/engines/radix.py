@@ -281,6 +281,34 @@ class RadixOps:
         blocks = [c[0] if c else zero for c in cols]
         return jnp.stack(blocks, axis=1)
 
+    def mul_plain(self, x, c: int):
+        """x * plaintext c via binary expansion: one plain shift per set
+        bit of c (even shifts are free block relabels, odd ones a single
+        bit-shift launch) + a log-depth tree of batched adds. Counterpart
+        of the reference's ct (x) pt mul (gates.rs:306-702 *_block_plain
+        variants) — power-of-two constants cost ZERO bootstraps here.
+        Truncates mod 2^width like the encrypted schoolbook."""
+        p = self.params
+        B, nb = x.shape[0], x.shape[1]
+        width = 2 * nb
+        c &= (1 << width) - 1
+        if c == 0:
+            return trivial_blocks(p, 0, nb, B)
+        terms = [
+            self.shift_plain(x, k, True) for k in range(width) if (c >> k) & 1
+        ]
+        # pairwise add tree, every round ONE batched propagate (two clean
+        # operands sum to <= 6 per block — within _propagate's invariant)
+        while len(terms) > 1:
+            np_ = len(terms) // 2
+            rest = [terms[-1]] if len(terms) % 2 else []
+            z = jnp.concatenate(
+                [terms[2 * i] + terms[2 * i + 1] for i in range(np_)]
+            )
+            res = _propagate(self.dsk, self.tp, z)
+            terms = [res[i * B : (i + 1) * B] for i in range(np_)] + rest
+        return terms[0]
+
     # -- division ------------------------------------------------------
     def div(self, x, y):
         """Restoring long division; div-by-zero yields all-ones (like the

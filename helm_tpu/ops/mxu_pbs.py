@@ -922,16 +922,29 @@ def _make_kernel_fs_mb(
 
         # --- decompose acc (the external product REPLACES it)
         # digs[t][r]: int32 [N2, G] digit of row r, tile t
-        digs = [[] for _ in range(N1)]
-        for c in range(kp1):
-            for t in range(N1):
-                if "nodec" in ablate:  # probe: decomposition cost
-                    d = (acc_scr[c, t] >> jnp.uint32(24)).astype(jnp.int32)
-                    digs[t].extend([d] * levels)
-                else:
-                    digs[t].extend(
-                        _decompose(acc_scr[c, t], params.pbs_base_log, levels)
-                    )
+        def _digits():
+            digs = [[] for _ in range(N1)]
+            for c in range(kp1):
+                for t in range(N1):
+                    if "nodec" in ablate:  # probe: decomposition cost
+                        d = (acc_scr[c, t] >> jnp.uint32(24)).astype(
+                            jnp.int32
+                        )
+                        digs[t].extend([d] * levels)
+                    else:
+                        digs[t].extend(
+                            _decompose(
+                                acc_scr[c, t], params.pbs_base_log, levels
+                            )
+                        )
+            return digs
+
+        # "digrec": recompute the digits inside each prime section instead
+        # of holding all rows_tot*N1 int32 tiles live across the unrolled
+        # prime loop — a few shifts per level vs ~25% of the VMEM peak at
+        # N=2048 (acc_scr is only rewritten at the CRT stage, so re-reading
+        # it per prime is sound)
+        digs = None if "digrec" in ablate else _digits()
 
         # --- ONE PRIME AT A TIME: fwd NTT -> monomials/subsets per tile
         # -> pointwise -> inverse NTT, so only this prime's fwd rows
@@ -941,6 +954,13 @@ def _make_kernel_fs_mb(
         # per (pi, t) and feeds all nv*kp1 pointwise terms against the
         # single-f32 BSK slab (one column broadcast per term).
         inv_res = []  # [pi][t] -> [N2, kp1*G]
+        # "crtacc": fold each prime's residues into running CRT partial
+        # sums (u32 weighted sum + f32 fractional sum, the same two
+        # accumulators _crt_fast builds — identical addition order, so
+        # bit-identical results) instead of storing all NP residue sets
+        # until the end: 2 live tile arrays per (c, t) vs NP u32 ones
+        crt_i = [[None] * N1 for _ in range(kp1)]
+        crt_f = [[None] * N1 for _ in range(kp1)]
         for pi, p in enumerate(PRIMES):
             ip = INV_P[pi]
             hp = p // 2
@@ -950,12 +970,13 @@ def _make_kernel_fs_mb(
             # adds one balanced (<= 1.5p) carry before reducing
             dchunk = ((1 << 24) - hp - 2 * p) // ((hp + 1) * 128)
 
+            dl = _digits() if "digrec" in ablate else digs
             xs = []
             for t in range(N1):
                 stacked = jnp.concatenate(
                     [
                         jnp.where(d < 0, d + p, d).astype(jnp.uint32)
-                        for d in digs[t]
+                        for d in dl[t]
                     ],
                     axis=1,
                 )  # [N2, rows*G]
@@ -1127,14 +1148,44 @@ def _make_kernel_fs_mb(
                             p, ip,
                         )
                     )
-            if "noinv8" in ablate:
-                inv_res.append(xs2)
+            xs3 = xs2 if "noinv8" in ablate else _fs_inv8(xs2, ISTW, pi, p)
+            if "crtacc" in ablate:
+                for c in range(kp1):
+                    for t in range(N1):
+                        r = xs3[t][:, c * G : (c + 1) * G]
+                        if "nocrt" in ablate:
+                            ti, tf = r, None
+                        else:
+                            ti = r * jnp.uint32(CRT_W_MOD[pi])
+                            tf = (
+                                r.astype(jnp.int32).astype(jnp.float32)
+                                * CRT_FRAC[pi]
+                            )
+                        if pi == 0:
+                            crt_i[c][t], crt_f[c][t] = ti, tf
+                        else:
+                            crt_i[c][t] = crt_i[c][t] + ti
+                            if tf is not None:
+                                crt_f[c][t] = crt_f[c][t] + tf
             else:
-                inv_res.append(_fs_inv8(xs2, ISTW, pi, p))
+                inv_res.append(xs3)
 
         # --- CRT recombination across primes
         for c in range(kp1):
             for t in range(N1):
+                if "crtacc" in ablate:
+                    if "nocrt" in ablate:
+                        acc_scr[c, t] = crt_i[c][t]
+                    else:
+                        kq = (
+                            jnp.floor(crt_f[c][t] + 0.5)
+                            .astype(jnp.int32)
+                            .astype(jnp.uint32)
+                        )
+                        acc_scr[c, t] = crt_i[c][t] - kq * jnp.uint32(
+                            PROD_MOD
+                        )
+                    continue
                 res = [
                     inv_res[pi][t][:, c * G : (c + 1) * G]
                     for pi in range(NP)

@@ -48,6 +48,22 @@ def test_radix_primitives(engine_u8):
         assert e._decrypt_value(np.asarray(mul[i])) == (xs[i] * ys[i]) % 256
 
 
+def test_radix_mul_plain(engine_u8):
+    import jax.numpy as jnp
+
+    e = engine_u8
+    xs = [17, 250, 3, 200]
+    x = jnp.asarray(np.stack([e._encrypt_value(v) for v in xs]))
+    # 0/1 edge cases, powers of two (zero-bootstrap relabels), odd shifts,
+    # dense constants, and truncating constants
+    for c in (0, 1, 2, 4, 64, 3, 5, 171, 255, 300):
+        got = e.ops.mul_plain(x, c)
+        for i, v in enumerate(xs):
+            assert e._decrypt_value(np.asarray(got[i])) == (v * c) % 256, (
+                c, v,
+            )
+
+
 def test_radix_div(engine_u8):
     import jax.numpy as jnp
 

@@ -162,6 +162,16 @@ def test_fs_multibit_blind_rotate_matches_jnp(keys_mb):
         )
     )
     np.testing.assert_array_equal(got, ref)
+    # VMEM-pressure variants (per-prime digit recompute, accumulated CRT)
+    # must stay bit-identical — they only reorder/duplicate computation
+    for ab in ("digrec", "crtacc", "digrec,crtacc"):
+        got = np.asarray(
+            mxu_pbs.blind_rotate_fs_mb(
+                p, bsk_fs, jnp.asarray(ct), testv,
+                g_tile=8, interpret=True, ablate=ab,
+            )
+        )
+        np.testing.assert_array_equal(got, ref, err_msg=ab)
 
 
 def test_mxu_multibit_bootstrap_truth_table(keys_mb):
