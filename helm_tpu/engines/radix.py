@@ -294,9 +294,20 @@ class RadixOps:
         c &= (1 << width) - 1
         if c == 0:
             return trivial_blocks(p, 0, nb, B)
-        terms = [
-            self.shift_plain(x, k, True) for k in range(width) if (c >> k) & 1
-        ]
+
+        def relabel(blocks: int):  # x << 2*blocks: free, no bootstrap
+            if not blocks:
+                return x
+            zero = jnp.zeros((B, blocks, p.n + 1), jnp.uint32)
+            return jnp.concatenate([zero, x[:, : nb - blocks]], axis=1)
+
+        even = [k for k in range(0, width, 2) if (c >> k) & 1]
+        odd = [k for k in range(1, width, 2) if (c >> k) & 1]
+        terms = [relabel(k // 2) for k in even]
+        if odd:  # all odd shifts share ONE batched 2*x propagate
+            z = jnp.concatenate([2 * relabel(k // 2) for k in odd])
+            res = _propagate(self.dsk, self.tp, z)
+            terms += [res[i * B : (i + 1) * B] for i in range(len(odd))]
         # pairwise add tree, every round ONE batched propagate (two clean
         # operands sum to <= 6 per block — within _propagate's invariant)
         while len(terms) > 1:
