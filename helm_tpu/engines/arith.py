@@ -162,14 +162,9 @@ class ArithEngine:
                         for g in gs
                     ]
                     if all(a is not None for a in amounts):
-                        outs = []
-                        for gi, g in enumerate(gs):
-                            outs.append(
-                                ops.shift_plain(
-                                    x[gi : gi + 1], amounts[gi], t == GateType.SHL
-                                )[0]
-                            )
-                        res = jnp.stack(outs)
+                        res = ops.shift_plain_many(
+                            x, amounts, t == GateType.SHL
+                        )
                     else:
                         y = jnp.stack(ys)
                         res = ops.shift_ct(x, y, t == GateType.SHL)

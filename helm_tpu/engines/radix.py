@@ -403,6 +403,49 @@ class RadixOps:
                 x = halves.at[:, : nb - 1].add(lob2[:, 1:])
         return x
 
+    def shift_plain_many(self, x, amounts, left: bool):
+        """Batched plain-amount shifts, one per row of x with its own
+        amount. Block relabels are free; all rows with an odd amount share
+        ONE bootstrap round (a batched 2*x propagate for SHL, one
+        halves+lobit2 pair for SHR) instead of one launch per gate."""
+        p = self.params
+        B, nb = x.shape[0], x.shape[1]
+        width = 2 * nb
+        rows, odd = [], []
+        for i, a in enumerate(amounts):
+            if a >= width:
+                rows.append(jnp.zeros((nb, p.n + 1), jnp.uint32))
+                continue
+            blocks, bit = divmod(a, 2)
+            xi = x[i]
+            if blocks:
+                zpad = jnp.zeros((blocks, p.n + 1), jnp.uint32)
+                xi = (
+                    jnp.concatenate([zpad, xi[: nb - blocks]])
+                    if left
+                    else jnp.concatenate([xi[blocks:], zpad])
+                )
+            rows.append(xi)
+            if bit:
+                odd.append(i)
+        base = jnp.stack(rows)
+        if not odd:
+            return base
+        sel = jnp.asarray(odd, dtype=jnp.int32)
+        sub = base[sel]
+        if left:
+            upd = _propagate(self.dsk, self.tp, 2 * sub)
+        else:
+            bs = len(odd)
+            flat = sub.reshape(bs * nb, p.n + 1)
+            halves, lob2 = _bootstrap_multi(
+                self.dsk, [flat, flat], [self.tp.half, self.tp.lobit2]
+            )
+            halves = halves.reshape(bs, nb, p.n + 1)
+            lob2 = lob2.reshape(bs, nb, p.n + 1)
+            upd = halves.at[:, : nb - 1].add(lob2[:, 1:])
+        return base.at[sel].set(upd)
+
     def shift_ct(self, x, y, left: bool):
         """Shift by encrypted amount: mux ladder over the amount's bits
         (amounts >= width wrap mod width; documented)."""

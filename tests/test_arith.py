@@ -64,6 +64,22 @@ def test_radix_mul_plain(engine_u8):
             )
 
 
+def test_radix_shift_plain_many(engine_u8):
+    import jax.numpy as jnp
+
+    e = engine_u8
+    xs = [0x5A, 0xFF, 0x01, 0x80, 0x33]
+    amounts = [0, 1, 3, 4, 9]  # even, odd, mixed relabels, >= width
+    x = jnp.asarray(np.stack([e._encrypt_value(v) for v in xs]))
+    for left in (True, False):
+        got = e.ops.shift_plain_many(x, amounts, left)
+        for i, (v, a) in enumerate(zip(xs, amounts)):
+            exp = (v << a) % 256 if left else v >> a
+            if a >= 8:
+                exp = 0
+            assert e._decrypt_value(np.asarray(got[i])) == exp, (left, v, a)
+
+
 def test_radix_div(engine_u8):
     import jax.numpy as jnp
 
