@@ -106,6 +106,25 @@ class ArithEngine:
             groups: dict[GateType, list] = {}
             for g in gates:
                 groups.setdefault(g.type, []).append(g)
+            adds = groups.pop(GateType.ADD, [])
+            subs = groups.pop(GateType.SUB, [])
+            if adds and subs:
+                # fuse the level's adds and subs into one propagate launch
+                gs = adds + subs
+                B = len(gs)
+                x = jnp.stack([self._opnd(wires, g.inputs[0], B) for g in gs])
+                y = jnp.stack([self._opnd(wires, g.inputs[1], B) for g in gs])
+                res = ops.add_sub_mixed(
+                    x, y, [False] * len(adds) + [True] * len(subs)
+                )
+                dst = jnp.asarray(
+                    [self.wire_index[g.output] for g in gs], dtype=jnp.int32
+                )
+                wires = wires.at[dst].set(res)
+            elif adds:
+                groups[GateType.ADD] = adds
+            elif subs:
+                groups[GateType.SUB] = subs
             for t, gs in groups.items():
                 if t == GateType.COPY:
                     src = jnp.asarray(

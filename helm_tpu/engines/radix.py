@@ -220,6 +220,18 @@ class RadixOps:
         z = z.at[:, 0, p.n].add(jnp.uint32(p.delta))
         return _propagate(self.dsk, self.tp, z, with_carry=with_carry)
 
+    def add_sub_mixed(self, x, y, is_sub):
+        """Fused batch of adds and subs: row i computes x-y when is_sub[i]
+        (a static python sequence) else x+y. Both ops end in the same
+        carry-propagate, so a level's add and sub groups share ONE
+        bootstrap launch instead of two."""
+        p = self.params
+        neg = jnp.uint32(0) - y
+        neg = neg.at[:, :, p.n].add(jnp.uint32(3 * p.delta))
+        neg = neg.at[:, 0, p.n].add(jnp.uint32(p.delta))
+        sel = jnp.asarray(is_sub, dtype=bool)[:, None, None]
+        return _propagate(self.dsk, self.tp, x + jnp.where(sel, neg, y))
+
     def add_scalar_block0(self, x, v: int):
         p = self.params
         z = x.at[:, 0, p.n].add(jnp.uint32(v * p.delta))

@@ -64,6 +64,41 @@ def test_radix_mul_plain(engine_u8):
             )
 
 
+def test_radix_add_sub_mixed(engine_u8):
+    import jax.numpy as jnp
+
+    e = engine_u8
+    xs = [200, 17, 99, 5]
+    ys = [57, 250, 99, 6]
+    sub = [False, True, False, True]
+    x = jnp.asarray(np.stack([e._encrypt_value(v) for v in xs]))
+    y = jnp.asarray(np.stack([e._encrypt_value(v) for v in ys]))
+    got = e.ops.add_sub_mixed(x, y, sub)
+    for i in range(4):
+        exp = (xs[i] - ys[i]) % 256 if sub[i] else (xs[i] + ys[i]) % 256
+        assert e._decrypt_value(np.asarray(got[i])) == exp, i
+
+
+def test_arith_fused_add_sub_level(engine_u8):
+    """add and sub at the SAME level go through the fused launch."""
+    from helm_tpu.circuit.verilog import parse_verilog
+
+    src = """
+module m(a, b, s, d);
+  input [7:0] a, b;
+  output [7:0] s, d;
+  add g0(a, b, s);
+  sub g1(a, b, d);
+endmodule
+"""
+    e = engine_u8
+    e.compile(parse_verilog(src, is_arith=True))
+    wires = e.evaluate(e.encrypt_inputs({"a": 77, "b": 200}))
+    out = e.decrypt_outputs(wires)
+    assert out["s"] == (77 + 200) % 256
+    assert out["d"] == (77 - 200) % 256
+
+
 def test_radix_shift_plain_many(engine_u8):
     import jax.numpy as jnp
 
