@@ -43,8 +43,25 @@ def main():
     p = getattr(P, os.environ.get("BENCH_PARAMS", "GATES_TPU_MB2"))
 
     t = time.perf_counter()
-    ck = lwe.keygen(p, seed=2024)
-    sk = gen_server_key(ck)
+    # multibit keygen takes minutes; it is deterministic in (params, seed),
+    # so cache the keys across bench runs (BENCH_KEY_CACHE="" disables)
+    cache = os.environ.get("BENCH_KEY_CACHE", "/tmp")
+    ckp = os.path.join(cache, f"bench_ck_{p.name}_s2024.npz") if cache else ""
+    skp = os.path.join(cache, f"bench_sk_{p.name}_s2024.npz") if cache else ""
+    if skp and os.path.exists(ckp) and os.path.exists(skp):
+        from helm_tpu.fhe import keys as K
+
+        ck = K.load_client_key(ckp)
+        sk = K.load_server_key(skp)
+        print("[bench] keys loaded from cache", file=sys.stderr)
+    else:
+        ck = lwe.keygen(p, seed=2024)
+        sk = gen_server_key(ck)
+        if skp:
+            from helm_tpu.fhe import keys as K
+
+            K.save_client_key(ckp, ck)
+            K.save_server_key(skp, sk)
     print(f"[bench] keygen {time.perf_counter()-t:.1f}s", file=sys.stderr)
     t = time.perf_counter()
     dsk = pbs_jnp.DeviceServerKey.from_host(sk)
