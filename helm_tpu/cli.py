@@ -245,7 +245,14 @@ def _run_arith(args, netlist) -> int:
     from .engines.arith import ArithEngine
 
     print(f" -- Arithmetic mode with {args.arithmetic} --")
-    input_wire_map = get_input_wire_map(args, args.arithmetic)
+    if args.batch_input_files:
+        input_wire_map = [
+            csv_io.read_input_wires(f, args.arithmetic)
+            for f in args.batch_input_files
+        ]
+        print(f"[✓] Batched input wires: {len(input_wire_map)} vectors.")
+    else:
+        input_wire_map = get_input_wire_map(args, args.arithmetic)
 
     start = time.time()
     if args.params:
@@ -286,8 +293,15 @@ def _run_arith(args, netlist) -> int:
     start = time.time()
     print("Encrypted Evaluation:")
     outputs = engine.decrypt_outputs(wires)
-    _print_outputs(outputs, args.verbose)
-    csv_io.write_output_wires(args.output_wires_file, outputs)
+    if isinstance(outputs, list):
+        for bi, out in enumerate(outputs):
+            print(f" [vector {bi}: {args.batch_input_files[bi]}]")
+            _print_outputs(out, args.verbose)
+            if args.output_wires_file:
+                csv_io.write_output_wires(f"{args.output_wires_file}.{bi}", out)
+    else:
+        _print_outputs(outputs, args.verbose)
+        csv_io.write_output_wires(args.output_wires_file, outputs)
     print(f"Decryption done in {time.time() - start} seconds.")
     return 0
 

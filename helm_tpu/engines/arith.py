@@ -78,30 +78,50 @@ class ArithEngine:
             self.client_key, lwe.encode_msg(self.params, np.array(blocks))
         )
 
-    def encrypt_inputs(self, input_wire_map: dict) -> jax.Array:
+    def encrypt_inputs(self, input_wire_map: dict | list) -> jax.Array:
+        """Wire table [W, V, nb, n+1]; V > 1 = batched serving (a list of
+        input maps evaluated together — every radix launch is V× wider,
+        amortizing the per-launch blind-rotation latency floor)."""
         p = self.params
-        W = len(self.wire_index)
-        wires = np.zeros((W, self.nb, p.n + 1), dtype=np.uint32)
-        dummy = not input_wire_map or "dummy" in input_wire_map
+        maps = (
+            input_wire_map
+            if isinstance(input_wire_map, list)
+            else [input_wire_map]
+        )
+        W, V = len(self.wire_index), len(maps)
+        wires = np.zeros((W, V, self.nb, p.n + 1), dtype=np.uint32)
         dff = set(self.netlist.dff_outputs)
-        for w in self.circuit.input_wires:
-            if w in dff:
-                continue
-            if dummy:
-                val = 0
-            elif w not in input_wire_map:
-                raise KeyError(f'Input wire "{w}" not found in input wires!')
-            else:
-                val = int(input_wire_map[w])
-            wires[self.wire_index[w]] = self._encrypt_value(val)
-        for w in dff:
-            wires[self.wire_index[w]] = self._encrypt_value(0)
+        for vi, m in enumerate(maps):
+            dummy = not m or "dummy" in m
+            for w in self.circuit.input_wires:
+                if w in dff:
+                    continue
+                if dummy:
+                    val = 0
+                elif w not in m:
+                    raise KeyError(
+                        f'Input wire "{w}" not found in input wires!'
+                    )
+                else:
+                    val = int(m[w])
+                wires[self.wire_index[w], vi] = self._encrypt_value(val)
+            for w in dff:
+                wires[self.wire_index[w], vi] = self._encrypt_value(0)
         return jnp.asarray(wires)
 
     # -- evaluation ----------------------------------------------------
     def evaluate(self, wires: jax.Array, verbose: bool = False) -> jax.Array:
         ops = self.ops
         levels = self.circuit.levels
+        V = wires.shape[1]
+        n1 = self.params.n + 1
+
+        def flat(a):  # [G, V, nb, n+1] -> [G*V, nb, n+1] op batch
+            return a.reshape(a.shape[0] * V, self.nb, n1)
+
+        def unflat(a):
+            return a.reshape(a.shape[0] // V, V, self.nb, n1)
+
         for li, (_, gates) in enumerate(levels):
             groups: dict[GateType, list] = {}
             for g in gates:
@@ -114,8 +134,11 @@ class ArithEngine:
                 B = len(gs)
                 x = jnp.stack([self._opnd(wires, g.inputs[0], B) for g in gs])
                 y = jnp.stack([self._opnd(wires, g.inputs[1], B) for g in gs])
-                res = ops.add_sub_mixed(
-                    x, y, [False] * len(adds) + [True] * len(subs)
+                is_sub = [False] * len(adds) + [True] * len(subs)
+                res = unflat(
+                    ops.add_sub_mixed(
+                        flat(x), flat(y), [s for s in is_sub for _ in range(V)]
+                    )
                 )
                 dst = jnp.asarray(
                     [self.wire_index[g.output] for g in gs], dtype=jnp.int32
@@ -162,7 +185,7 @@ class ArithEngine:
                                     for g, xi in items
                                 ]
                             )
-                            res = ops.mul_plain(x, cval)
+                            res = unflat(ops.mul_plain(flat(x), cval))
                             dst = jnp.asarray(
                                 [self.wire_index[g.output] for g, _ in items],
                                 dtype=jnp.int32,
@@ -173,7 +196,7 @@ class ArithEngine:
                 B = len(gs)
                 xs = [self._opnd(wires, g.inputs[0], B) for g in gs]
                 ys = [self._opnd(wires, g.inputs[1], B) for g in gs]
-                x = jnp.stack(xs)
+                x = flat(jnp.stack(xs))
                 if t in (GateType.SHL, GateType.SHR):
                     # plain amounts take the cheap relabel path
                     amounts = [
@@ -182,13 +205,15 @@ class ArithEngine:
                     ]
                     if all(a is not None for a in amounts):
                         res = ops.shift_plain_many(
-                            x, amounts, t == GateType.SHL
+                            x,
+                            [a for a in amounts for _ in range(V)],
+                            t == GateType.SHL,
                         )
                     else:
-                        y = jnp.stack(ys)
+                        y = flat(jnp.stack(ys))
                         res = ops.shift_ct(x, y, t == GateType.SHL)
                 else:
-                    y = jnp.stack(ys)
+                    y = flat(jnp.stack(ys))
                     if t == GateType.ADD:
                         res = ops.add(x, y)
                     elif t == GateType.SUB:
@@ -199,6 +224,7 @@ class ArithEngine:
                         res = ops.div(x, y)
                     else:
                         raise ValueError(f"unsupported arith gate {t}")
+                res = unflat(res)
                 dst = jnp.asarray(
                     [self.wire_index[g.output] for g in gs], dtype=jnp.int32
                 )
@@ -208,8 +234,11 @@ class ArithEngine:
         return wires
 
     def _opnd(self, wires, name: str, batch: int):
+        """One gate operand: [V, nb, n+1] (V = serving batch)."""
         if _is_numeric(name):
-            return trivial_blocks(self.params, int(name), self.nb, 1)[0]
+            return trivial_blocks(
+                self.params, int(name), self.nb, wires.shape[1]
+            )
         return wires[self.wire_index[name]]
 
     # -- decryption ----------------------------------------------------
@@ -218,15 +247,25 @@ class ArithEngine:
         msgs = lwe.decode_msg(self.params, ph) % 4
         return int(sum(int(m) << (2 * i) for i, m in enumerate(msgs)))
 
-    def decrypt_outputs(self, wires: jax.Array) -> dict:
+    def decrypt_outputs(self, wires: jax.Array) -> dict | list:
+        """dict for single-vector runs; list of dicts for batched serving."""
         host = np.asarray(wires)
-        return {
-            w: self._decrypt_value(host[self.wire_index[w]])
-            for w in self.circuit.output_wires
-        }
+        outs = [
+            {
+                w: self._decrypt_value(host[self.wire_index[w], vi])
+                for w in self.circuit.output_wires
+            }
+            for vi in range(host.shape[1])
+        ]
+        return outs[0] if len(outs) == 1 else outs
 
-    def decrypt_all_wires(self, wires: jax.Array) -> dict:
+    def decrypt_all_wires(self, wires: jax.Array) -> dict | list:
         host = np.asarray(wires)
-        return {
-            w: self._decrypt_value(host[i]) for w, i in self.wire_index.items()
-        }
+        outs = [
+            {
+                w: self._decrypt_value(host[i, vi])
+                for w, i in self.wire_index.items()
+            }
+            for vi in range(host.shape[1])
+        ]
+        return outs[0] if len(outs) == 1 else outs

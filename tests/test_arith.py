@@ -170,6 +170,28 @@ def test_arith_engine_with_plain_operands(engine_u8):
         assert out[w] == exp[w], w
 
 
+def test_arith_batched_serving(engine_u8):
+    """A list of input maps evaluates in one pass; every vector decrypts
+    to its own oracle result (the arith analog of boolean batched serving)."""
+    nl = parse_verilog(ARITH_SRC, True)
+    e = engine_u8
+    e.compile(nl)
+    vecs = [
+        {"a": 23, "b": 190},
+        {"a": 0, "b": 255},
+        {"a": 101, "b": 3},
+    ]
+    outs = e.decrypt_outputs(e.evaluate(e.encrypt_inputs(vecs)))
+    assert isinstance(outs, list) and len(outs) == 3
+    c = Circuit.from_netlist(parse_verilog(ARITH_SRC, True))
+    for inputs, out in zip(vecs, outs):
+        exp = c.evaluate_arith(
+            c.initialize_wire_map(nl.wire_set, inputs, default=0), 8
+        )
+        for w in ("s", "d", "p", "q"):
+            assert out[w] == exp[w], (inputs, w)
+
+
 def test_chi_squared_u8():
     nl = read_verilog_file("benchmarks/netlists/chi_squared_arith.v", True)
     e = ArithEngine("u8", params=P.TEST_PARAMS_ARITH, seed=6)

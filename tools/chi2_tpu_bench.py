@@ -17,7 +17,12 @@ pset = getattr(P, os.environ["PARAMS"]) if os.environ.get("PARAMS") else None
 e = ArithEngine("u32", params=pset, seed=11)  # default: production ARITH_PARAMS
 print(f"KeyGen {time.time()-t0:.1f}s", flush=True)
 e.compile(nl)
-inputs = {"n0": 10, "n1": 20, "n2": 30}
+B = int(os.environ.get("BATCH", "1"))  # >1 = batched serving, B vectors/pass
+base = {"n0": 10, "n1": 20, "n2": 30}
+vecs = [
+    {k: v + 7 * i for k, v in base.items()} for i in range(B)
+]
+inputs = vecs if B > 1 else base
 wires = e.encrypt_inputs(inputs)
 t0 = time.time()
 wires = e.evaluate(wires)
@@ -27,9 +32,20 @@ w2 = e.encrypt_inputs(inputs)
 t0 = time.time()
 w2 = e.evaluate(w2)
 _ = np.asarray(w2)
-print(f"steady-state chi_squared u32 eval: {time.time()-t0:.2f}s", flush=True)
+dt = time.time() - t0
+print(
+    f"steady-state chi_squared u32 eval: {dt:.2f}s"
+    + (f" ({dt / B:.2f}s/vector at batch {B})" if B > 1 else ""),
+    flush=True,
+)
 out = e.decrypt_outputs(w2)
 c = Circuit.from_netlist(read_verilog_file("benchmarks/netlists/chi_squared_arith.v", True))
-exp = c.evaluate_arith(c.initialize_wire_map(nl.wire_set, inputs, default=0), 32)
-print("outputs:", out, flush=True)
-print("correct:", all(out[w] == exp[w] for w in out), flush=True)
+outs = out if isinstance(out, list) else [out]
+ok = True
+for vi, o in enumerate(outs):
+    exp = c.evaluate_arith(
+        c.initialize_wire_map(nl.wire_set, vecs[vi], default=0), 32
+    )
+    ok = ok and all(o[w] == exp[w] for w in o)
+print("outputs:", outs[0], flush=True)
+print("correct:", ok, flush=True)
