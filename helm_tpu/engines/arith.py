@@ -111,135 +111,132 @@ class ArithEngine:
 
     # -- evaluation ----------------------------------------------------
     def evaluate(self, wires: jax.Array, verbose: bool = False) -> jax.Array:
-        ops = self.ops
-        levels = self.circuit.levels
+        """Dataflow evaluation: every gate is a radix-op coroutine
+        (engines/radix.py) that becomes runnable the moment its input
+        wires are ready; each scheduler round merges the pending PBS
+        requests of ALL runnable gates — independent gates of any type at
+        any circuit level — into ONE batched launch. Total launch count
+        is the critical-path depth in bootstrap rounds, not the sum of
+        per-level per-op-type chains (the reference's rayon engine
+        parallelizes only within a level, circuit.rs:1327)."""
+        from .radix import _bootstrap_multi
+
         V = wires.shape[1]
-        n1 = self.params.n + 1
+        vals: dict[str, jax.Array] = {}
+        for w in set(self.circuit.input_wires) | set(self.netlist.dff_outputs):
+            vals[w] = wires[self.wire_index[w]]
 
-        def flat(a):  # [G, V, nb, n+1] -> [G*V, nb, n+1] op batch
-            return a.reshape(a.shape[0] * V, self.nb, n1)
+        gates = [g for _, gs in self.circuit.levels for g in gs]
+        waiters: dict[str, list[int]] = {}
+        nwait = []
+        for gi, g in enumerate(gates):
+            deps = {
+                w for w in g.inputs if not _is_numeric(w) and w not in vals
+            }
+            nwait.append(len(deps))
+            for w in deps:
+                waiters.setdefault(w, []).append(gi)
+        from collections import deque
 
-        def unflat(a):
-            return a.reshape(a.shape[0] // V, V, self.nb, n1)
+        ready = deque(gi for gi, c in enumerate(nwait) if c == 0)
+        running: list = []  # (gate_idx, coroutine)
+        pending: list = []  # request list per running coroutine
+        computed: list[str] = []
 
-        for li, (_, gates) in enumerate(levels):
-            groups: dict[GateType, list] = {}
-            for g in gates:
-                groups.setdefault(g.type, []).append(g)
-            adds = groups.pop(GateType.ADD, [])
-            subs = groups.pop(GateType.SUB, [])
-            if adds and subs:
-                # fuse the level's adds and subs into one propagate launch
-                gs = adds + subs
-                B = len(gs)
-                x = jnp.stack([self._opnd(wires, g.inputs[0], B) for g in gs])
-                y = jnp.stack([self._opnd(wires, g.inputs[1], B) for g in gs])
-                is_sub = [False] * len(adds) + [True] * len(subs)
-                res = unflat(
-                    ops.add_sub_mixed(
-                        flat(x), flat(y), [s for s in is_sub for _ in range(V)]
-                    )
-                )
-                dst = jnp.asarray(
-                    [self.wire_index[g.output] for g in gs], dtype=jnp.int32
-                )
-                wires = wires.at[dst].set(res)
-            elif adds:
-                groups[GateType.ADD] = adds
-            elif subs:
-                groups[GateType.SUB] = subs
-            for t, gs in groups.items():
-                if t == GateType.COPY:
-                    src = jnp.asarray(
-                        [self.wire_index[g.inputs[0]] for g in gs], dtype=jnp.int32
-                    )
-                    dst = jnp.asarray(
-                        [self.wire_index[g.output] for g in gs], dtype=jnp.int32
-                    )
-                    wires = wires.at[dst].set(wires[src])
+        def finish(gi: int, result) -> None:
+            out = gates[gi].output
+            vals[out] = result
+            computed.append(out)
+            for wi in waiters.get(out, ()):
+                nwait[wi] -= 1
+                if nwait[wi] == 0:
+                    ready.append(wi)
+
+        rounds = 0
+        while ready or running:
+            while ready:  # activate (cascades through bootstrap-free gates)
+                gi = ready.popleft()
+                gen, imm = self._gate_gen(gates[gi], vals, V)
+                if gen is None:
+                    finish(gi, imm)
                     continue
-                if t == GateType.MULT:
-                    # ct (x) pt multiplies (numeric-literal operand on
-                    # either side — mult commutes) take the cheap
-                    # binary-expansion path; power-of-two constants are
-                    # pure block relabels with no bootstraps at all
-                    plain = [
-                        g
-                        for g in gs
-                        if _is_numeric(g.inputs[0]) != _is_numeric(g.inputs[1])
-                    ]
-                    if plain:
-                        gs = [g for g in gs if g not in plain]
-                        byc: dict[int, list] = {}
-                        for g in plain:
-                            ci, xi = (
-                                (0, 1) if _is_numeric(g.inputs[0]) else (1, 0)
-                            )
-                            byc.setdefault(int(g.inputs[ci]), []).append(
-                                (g, xi)
-                            )
-                        for cval, items in byc.items():
-                            x = jnp.stack(
-                                [
-                                    wires[self.wire_index[g.inputs[xi]]]
-                                    for g, xi in items
-                                ]
-                            )
-                            res = unflat(ops.mul_plain(flat(x), cval))
-                            dst = jnp.asarray(
-                                [self.wire_index[g.output] for g, _ in items],
-                                dtype=jnp.int32,
-                            )
-                            wires = wires.at[dst].set(res)
-                        if not gs:
-                            continue
-                B = len(gs)
-                xs = [self._opnd(wires, g.inputs[0], B) for g in gs]
-                ys = [self._opnd(wires, g.inputs[1], B) for g in gs]
-                x = flat(jnp.stack(xs))
-                if t in (GateType.SHL, GateType.SHR):
-                    # plain amounts take the cheap relabel path
-                    amounts = [
-                        int(g.inputs[1]) if _is_numeric(g.inputs[1]) else None
-                        for g in gs
-                    ]
-                    if all(a is not None for a in amounts):
-                        res = ops.shift_plain_many(
-                            x,
-                            [a for a in amounts for _ in range(V)],
-                            t == GateType.SHL,
-                        )
-                    else:
-                        y = flat(jnp.stack(ys))
-                        res = ops.shift_ct(x, y, t == GateType.SHL)
-                else:
-                    y = flat(jnp.stack(ys))
-                    if t == GateType.ADD:
-                        res = ops.add(x, y)
-                    elif t == GateType.SUB:
-                        res = ops.sub(x, y)
-                    elif t == GateType.MULT:
-                        res = ops.mul(x, y)
-                    elif t == GateType.DIV:
-                        res = ops.div(x, y)
-                    else:
-                        raise ValueError(f"unsupported arith gate {t}")
-                res = unflat(res)
-                dst = jnp.asarray(
-                    [self.wire_index[g.output] for g in gs], dtype=jnp.int32
-                )
-                wires = wires.at[dst].set(res)
+                try:
+                    reqs = gen.send(None)
+                except StopIteration as e:
+                    finish(gi, e.value)
+                    continue
+                running.append((gi, gen))
+                pending.append(reqs)
+            if not running:
+                break
+            pres = [r[0] for reqs in pending for r in reqs]
+            tvs = [r[1] for reqs in pending for r in reqs]
+            outs = _bootstrap_multi(self.dsk, pres, tvs)
+            rounds += 1
             if verbose:
-                print(f"  Evaluated gates in level [{li + 1}/{len(levels)}]")
-        return wires
+                print(
+                    f"  round {rounds}: {len(running)} gates in flight, "
+                    f"{sum(p.shape[0] for p in pres)} PBS slots"
+                )
+            still_running, still_pending, off = [], [], 0
+            for (gi, gen), reqs in zip(running, pending):
+                res = outs[off : off + len(reqs)]
+                off += len(reqs)
+                try:
+                    nxt = gen.send(res)
+                except StopIteration as e:
+                    finish(gi, e.value)
+                    continue
+                still_running.append((gi, gen))
+                still_pending.append(nxt)
+            running, pending = still_running, still_pending
+        if len(computed) != len(gates):
+            missing = {g.output for g in gates} - set(computed)
+            raise RuntimeError(f"unresolved gates (cycle?): {sorted(missing)}")
+        if not computed:
+            return wires
+        dst = jnp.asarray(
+            [self.wire_index[w] for w in computed], dtype=jnp.int32
+        )
+        return wires.at[dst].set(jnp.stack([vals[w] for w in computed]))
 
-    def _opnd(self, wires, name: str, batch: int):
-        """One gate operand: [V, nb, n+1] (V = serving batch)."""
-        if _is_numeric(name):
-            return trivial_blocks(
-                self.params, int(name), self.nb, wires.shape[1]
-            )
-        return wires[self.wire_index[name]]
+    def _gate_gen(self, g, vals: dict, V: int):
+        """Coroutine (or immediate value) computing one gate. Returns
+        (generator, None) or (None, result) for bootstrap-free gates."""
+        ops = self.ops
+        t = g.type
+
+        def opnd(name: str):
+            if _is_numeric(name):
+                return trivial_blocks(self.params, int(name), self.nb, V)
+            return vals[name]
+
+        if t == GateType.COPY:
+            return None, vals[g.inputs[0]]
+        if t == GateType.MULT:
+            # ct (x) pt multiplies (numeric literal on either side — mult
+            # commutes) take the cheap binary-expansion path; power-of-two
+            # constants are pure block relabels with no bootstraps at all
+            p0, p1 = _is_numeric(g.inputs[0]), _is_numeric(g.inputs[1])
+            if p0 != p1:
+                c = int(g.inputs[0] if p0 else g.inputs[1])
+                return ops.mul_plain_g(opnd(g.inputs[1 if p0 else 0]), c), None
+            return ops.mul_g(opnd(g.inputs[0]), opnd(g.inputs[1])), None
+        if t in (GateType.SHL, GateType.SHR):
+            left = t == GateType.SHL
+            if _is_numeric(g.inputs[1]):  # plain amount: cheap relabel path
+                return (
+                    ops.shift_plain_g(opnd(g.inputs[0]), int(g.inputs[1]), left),
+                    None,
+                )
+            return ops.shift_ct_g(opnd(g.inputs[0]), opnd(g.inputs[1]), left), None
+        if t == GateType.ADD:
+            return ops.add_g(opnd(g.inputs[0]), opnd(g.inputs[1])), None
+        if t == GateType.SUB:
+            return ops.sub_g(opnd(g.inputs[0]), opnd(g.inputs[1])), None
+        if t == GateType.DIV:
+            return ops.div_g(opnd(g.inputs[0]), opnd(g.inputs[1])), None
+        raise ValueError(f"unsupported arith gate {t}")
 
     # -- decryption ----------------------------------------------------
     def _decrypt_value(self, ct_blocks: np.ndarray) -> int:

@@ -17,6 +17,14 @@ Everything reduces to batched PBS launches shaped for the TPU:
   encrypted amounts use a mux ladder over the amount's bits.
 
 Blocks are kept *clean* (message < 4, no carries) after every public op.
+
+Every op is written as a COROUTINE that yields lists of (pre, test_poly)
+PBS requests and receives the bootstrapped results — the dataflow
+scheduler in engines/arith.py advances all runnable gates together and
+merges every round's requests into ONE launch, so independent gates (of
+any type, at any circuit level) share blind rotations instead of queueing
+behind each other. The plain methods on RadixOps drive a single coroutine
+to completion for direct library use.
 """
 
 from __future__ import annotations
@@ -76,6 +84,10 @@ BATCH_SHARD = [None]
 #: (single-chip fused Pallas kernel; interpret-mode on CPU)
 BACKEND = ["jnp"]
 
+#: diagnostic: total _bootstrap_multi launches and bootstrapped slots
+LAUNCHES = [0]
+SLOTS = [0]
+
 
 @partial(jax.jit, static_argnums=(0,))
 def _bootstrap_sharded(shard, dsk, pre, tv):
@@ -92,7 +104,7 @@ def _bootstrap_multi(dsk, pres: list, tvs: list):
     minutes per shape for the fused kernels on the tunneled TPU). Padding
     slots bootstrap trivial zeros and are sliced off after."""
     sizes = [p.shape[0] for p in pres]
-    pre = jnp.concatenate(pres)
+    pre = jnp.concatenate(pres) if len(pres) > 1 else pres[0]
     tv = jnp.concatenate(
         [jnp.broadcast_to(t, (s, t.shape[-1])) for s, t in zip(sizes, tvs)]
     )
@@ -107,6 +119,8 @@ def _bootstrap_multi(dsk, pres: list, tvs: list):
         tv = jnp.concatenate(
             [tv, jnp.broadcast_to(tv[:1], (pad, tv.shape[1]))]
         )
+    LAUNCHES[0] += 1
+    SLOTS[0] += bucket
     if BATCH_SHARD[0] is not None:
         out = _bootstrap_sharded(BATCH_SHARD[0], dsk, pre, tv)
     elif BACKEND[0] == "mxu":
@@ -124,6 +138,20 @@ def _bootstrap_multi(dsk, pres: list, tvs: list):
     return res
 
 
+def _run(dsk, gen):
+    """Drive one op coroutine to completion, launching every yielded
+    request list immediately (the single-op / library-API path)."""
+    try:
+        reqs = gen.send(None)
+        while True:
+            outs = _bootstrap_multi(
+                dsk, [r[0] for r in reqs], [r[1] for r in reqs]
+            )
+            reqs = gen.send(outs)
+    except StopIteration as e:
+        return e.value
+
+
 def trivial_blocks(params: TfheParams, value: int, nb: int, batch: int) -> jnp.ndarray:
     """Trivial radix encryption [batch, nb, n+1]."""
     out = np.zeros((batch, nb, params.n + 1), dtype=np.uint32)
@@ -132,15 +160,14 @@ def trivial_blocks(params: TfheParams, value: int, nb: int, batch: int) -> jnp.n
     return jnp.asarray(out)
 
 
-@partial(jax.jit, static_argnames=("with_carry",))
-def _propagate(dsk, tp: RadixTestPolys, z, with_carry=False):
+def _propagate_g(tp: RadixTestPolys, z, with_carry=False):
     """Carry-propagate blocks -> clean blocks (+ carry-out).
 
     z: [B, nb, n+1]. Invariant at every call site: block sums <= 6 for
     blocks >= 1 and <= 7 at block 0 (carry-in 0 there), so every running
     carry is 0/1. nb >= 8 uses log-depth carry-lookahead (Hillis-Steele
     scan over encrypted generate/propagate status, ceil(log2 nb)+3
-    launches); smaller widths ripple sequentially (nb launches).
+    rounds); smaller widths ripple sequentially (nb rounds).
     """
     n1 = z.shape[-1]
     B, nb = z.shape[0], z.shape[1]
@@ -149,33 +176,29 @@ def _propagate(dsk, tp: RadixTestPolys, z, with_carry=False):
         outs = []
         for i in range(nb):
             t = z[:, i] + c
-            m, c = _bootstrap_multi(dsk, [t, t], [tp.msg, tp.carry])
+            m, c = yield [(t, tp.msg), (t, tp.carry)]
             outs.append(m)
         res = jnp.stack(outs, axis=1)
         return (res, c) if with_carry else res
     flat = z.reshape(B * nb, n1)
-    (a,) = _bootstrap_multi(dsk, [flat], [tp.status])
+    (a,) = yield [(flat, tp.status)]
     a = a.reshape(B, nb, n1)
     o = 1
     while o < nb:
         # inclusive scan: a[i] <- combine(a[i] over a[i-o])
         pre = 4 * a[:, o:] + a[:, :-o]
-        (upd,) = _bootstrap_multi(
-            dsk, [pre.reshape(B * (nb - o), n1)], [tp.cmb]
-        )
+        (upd,) = yield [(pre.reshape(B * (nb - o), n1), tp.cmb)]
         a = jnp.concatenate([a[:, :o], upd.reshape(B, nb - o, n1)], axis=1)
         o *= 2
     # carry into block i (i>=1) = (prefix status of blocks 0..i-1) == 2
     hi = nb if with_carry else nb - 1
-    (cs,) = _bootstrap_multi(
-        dsk, [a[:, :hi].reshape(B * hi, n1)], [tp.half]
-    )
+    (cs,) = yield [(a[:, :hi].reshape(B * hi, n1), tp.half)]
     cs = cs.reshape(B, hi, n1)
     cin = jnp.concatenate(
         [jnp.zeros((B, 1, n1), jnp.uint32), cs[:, : nb - 1]], axis=1
     )
     pre = (2 * z + cin).reshape(B * nb, n1)
-    (m,) = _bootstrap_multi(dsk, [pre], [tp.msgc])
+    (m,) = yield [(pre, tp.msgc)]
     res = m.reshape(B, nb, n1)
     return (res, cs[:, nb - 1]) if with_carry else res
 
@@ -200,7 +223,10 @@ def _rtp_unflatten(ch):
 
 
 class RadixOps:
-    """Stateful wrapper bundling device key + test polys (host-side API)."""
+    """Device key + test polys + the radix op suite.
+
+    `*_g` methods are coroutines (yield PBS request lists, receive
+    results); the plain methods drive them synchronously."""
 
     def __init__(self, params: TfheParams, dsk):
         self.params = params
@@ -208,54 +234,51 @@ class RadixOps:
         self.tp = RadixTestPolys(params)
 
     # -- add / sub -----------------------------------------------------
-    def add(self, x, y, with_carry: bool = False):
-        return _propagate(self.dsk, self.tp, x + y, with_carry=with_carry)
+    def add_g(self, x, y, with_carry: bool = False):
+        return _propagate_g(self.tp, x + y, with_carry=with_carry)
 
-    def sub(self, x, y, with_carry: bool = False):
+    def sub_g(self, x, y, with_carry: bool = False):
         """x - y via x + (3-y per block) + 1; carry-out == (x >= y)."""
         p = self.params
         neg = jnp.uint32(0) - y
         neg = neg.at[:, :, p.n].add(jnp.uint32(3 * p.delta))
         z = x + neg
         z = z.at[:, 0, p.n].add(jnp.uint32(p.delta))
-        return _propagate(self.dsk, self.tp, z, with_carry=with_carry)
+        return _propagate_g(self.tp, z, with_carry=with_carry)
 
-    def add_sub_mixed(self, x, y, is_sub):
+    def add_sub_mixed_g(self, x, y, is_sub):
         """Fused batch of adds and subs: row i computes x-y when is_sub[i]
         (a static python sequence) else x+y. Both ops end in the same
-        carry-propagate, so a level's add and sub groups share ONE
-        bootstrap launch instead of two."""
+        carry-propagate, so the whole batch shares ONE bootstrap chain."""
         p = self.params
         neg = jnp.uint32(0) - y
         neg = neg.at[:, :, p.n].add(jnp.uint32(3 * p.delta))
         neg = neg.at[:, 0, p.n].add(jnp.uint32(p.delta))
         sel = jnp.asarray(is_sub, dtype=bool)[:, None, None]
-        return _propagate(self.dsk, self.tp, x + jnp.where(sel, neg, y))
+        return _propagate_g(self.tp, x + jnp.where(sel, neg, y))
 
-    def add_scalar_block0(self, x, v: int):
+    def add_scalar_block0_g(self, x, v: int):
         p = self.params
         z = x.at[:, 0, p.n].add(jnp.uint32(v * p.delta))
-        return _propagate(self.dsk, self.tp, z)
+        return _propagate_g(self.tp, z)
 
     # -- mul -----------------------------------------------------------
-    def mul(self, x, y):
-        """Schoolbook + carry-save compression; all launches fully batched."""
-        p = self.params
+    def mul_g(self, x, y):
+        """Schoolbook + carry-save compression; all rounds fully batched."""
         B, nb = x.shape[0], x.shape[1]
         pairs = [(i, j) for i in range(nb) for j in range(nb) if i + j < nb]
         lo_pre = jnp.concatenate([4 * x[:, i] + y[:, j] for i, j in pairs])
         hi_pairs = [(i, j) for (i, j) in pairs if i + j + 1 < nb]
-        hi_pre = (
-            jnp.concatenate([4 * x[:, i] + y[:, j] for i, j in hi_pairs])
-            if hi_pairs
-            else None
-        )
-        if hi_pre is not None:
-            lo, hi = _bootstrap_multi(
-                self.dsk, [lo_pre, hi_pre], [self.tp.mul_lo, self.tp.mul_hi]
+        if hi_pairs:
+            hi_pre = jnp.concatenate(
+                [4 * x[:, i] + y[:, j] for i, j in hi_pairs]
             )
+            lo, hi = yield [
+                (lo_pre, self.tp.mul_lo),
+                (hi_pre, self.tp.mul_hi),
+            ]
         else:
-            (lo,) = _bootstrap_multi(self.dsk, [lo_pre], [self.tp.mul_lo])
+            (lo,) = yield [(lo_pre, self.tp.mul_lo)]
             hi = lo[:0]
         cols: list[list] = [[] for _ in range(nb)]
         for idx, (i, j) in enumerate(pairs):
@@ -281,9 +304,10 @@ class RadixOps:
                         chunk_col.append(c)
             if chunk_pre:
                 pre = jnp.concatenate(chunk_pre)
-                msgs, carries = _bootstrap_multi(
-                    self.dsk, [pre, pre], [self.tp.msg, self.tp.carry]
-                )
+                msgs, carries = yield [
+                    (pre, self.tp.msg),
+                    (pre, self.tp.carry),
+                ]
                 for ci, c in enumerate(chunk_col):
                     new_cols[c].append(msgs[ci * B : (ci + 1) * B])
                     if c + 1 < nb:
@@ -293,10 +317,10 @@ class RadixOps:
         blocks = [c[0] if c else zero for c in cols]
         return jnp.stack(blocks, axis=1)
 
-    def mul_plain(self, x, c: int):
+    def mul_plain_g(self, x, c: int):
         """x * plaintext c via binary expansion: one plain shift per set
         bit of c (even shifts are free block relabels, odd ones a single
-        bit-shift launch) + a log-depth tree of batched adds. Counterpart
+        bit-shift round) + a log-depth tree of batched adds. Counterpart
         of the reference's ct (x) pt mul (gates.rs:306-702 *_block_plain
         variants) — power-of-two constants cost ZERO bootstraps here.
         Truncates mod 2^width like the encrypted schoolbook."""
@@ -318,7 +342,7 @@ class RadixOps:
         terms = [relabel(k // 2) for k in even]
         if odd:  # all odd shifts share ONE batched 2*x propagate
             z = jnp.concatenate([2 * relabel(k // 2) for k in odd])
-            res = _propagate(self.dsk, self.tp, z)
+            res = yield from _propagate_g(self.tp, z)
             terms += [res[i * B : (i + 1) * B] for i in range(len(odd))]
         # pairwise add tree, every round ONE batched propagate (two clean
         # operands sum to <= 6 per block — within _propagate's invariant)
@@ -328,22 +352,20 @@ class RadixOps:
             z = jnp.concatenate(
                 [terms[2 * i] + terms[2 * i + 1] for i in range(np_)]
             )
-            res = _propagate(self.dsk, self.tp, z)
+            res = yield from _propagate_g(self.tp, z)
             terms = [res[i * B : (i + 1) * B] for i in range(np_)] + rest
         return terms[0]
 
     # -- division ------------------------------------------------------
-    def div(self, x, y):
+    def div_g(self, x, y):
         """Restoring long division; div-by-zero yields all-ones (like the
         hardware algorithm; documented divergence from Rust's panic)."""
         p = self.params
         B, nb = x.shape[0], x.shape[1]
         bits = 2 * nb
-        # extract all bits of x in one launch
+        # extract all bits of x in one round
         flat = x.reshape(B * nb, p.n + 1)
-        los, his = _bootstrap_multi(
-            self.dsk, [flat, flat], [self.tp.lobit, self.tp.hibit]
-        )
+        los, his = yield [(flat, self.tp.lobit), (flat, self.tp.hibit)]
         los = los.reshape(B, nb, p.n + 1)
         his = his.reshape(B, nb, p.n + 1)
         xbit = [
@@ -360,32 +382,31 @@ class RadixOps:
             # r = 2r + x_bit_k (values <= 7 before propagate)
             z = 2 * r
             z = z.at[:, 0].add(xbit[k])
-            r = _propagate(self.dsk, self.tp, z)
-            _, ge = self.sub(r, y_ext, with_carry=True)  # ge = (r >= y)
+            r = yield from _propagate_g(self.tp, z)
+            # ge = (r >= y), the carry-out of r - y
+            _, ge = yield from self.sub_g(r, y_ext, with_carry=True)
             # r <- r - ge*y: gy blocks via bivariate (4*ge + y_i)
             gy_pre = jnp.concatenate(
                 [4 * ge + y_ext[:, i] for i in range(nbe)]
             )
-            (gy,) = _bootstrap_multi(self.dsk, [gy_pre], [self.tp.mul_lo])
+            (gy,) = yield [(gy_pre, self.tp.mul_lo)]
             gy = jnp.stack(
                 [gy[i * B : (i + 1) * B] for i in range(nbe)], axis=1
             )
-            r = self.sub(r, gy)
+            r = yield from self.sub_g(r, gy)
             qbits[k] = ge
         blocks = []
         for i in range(nb):
             blk = qbits[2 * i] + 2 * qbits[2 * i + 1]
             blocks.append(blk)
         # quotient blocks are already clean (two 0/1 bits, <= 3): one
-        # batched refresh launch, no carry propagation needed
+        # batched refresh round, no carry propagation needed
         q = jnp.stack(blocks, axis=1)
-        (m,) = _bootstrap_multi(
-            self.dsk, [q.reshape(B * nb, p.n + 1)], [self.tp.msg]
-        )
+        (m,) = yield [(q.reshape(B * nb, p.n + 1), self.tp.msg)]
         return m.reshape(B, nb, p.n + 1)
 
     # -- shifts --------------------------------------------------------
-    def shift_plain(self, x, amount: int, left: bool):
+    def shift_plain_g(self, x, amount: int, left: bool):
         p = self.params
         B, nb = x.shape[0], x.shape[1]
         width = 2 * nb
@@ -399,7 +420,7 @@ class RadixOps:
                     [jnp.tile(zero, (1, blocks, 1)), x[:, : nb - blocks]], axis=1
                 )
             if bit:
-                x = _propagate(self.dsk, self.tp, 2 * x)
+                x = yield from _propagate_g(self.tp, 2 * x)
         else:
             if blocks:
                 x = jnp.concatenate(
@@ -407,15 +428,16 @@ class RadixOps:
                 )
             if bit:
                 flat = x.reshape(B * nb, p.n + 1)
-                halves, lob2 = _bootstrap_multi(
-                    self.dsk, [flat, flat], [self.tp.half, self.tp.lobit2]
-                )
+                halves, lob2 = yield [
+                    (flat, self.tp.half),
+                    (flat, self.tp.lobit2),
+                ]
                 halves = halves.reshape(B, nb, p.n + 1)
                 lob2 = lob2.reshape(B, nb, p.n + 1)
                 x = halves.at[:, : nb - 1].add(lob2[:, 1:])
         return x
 
-    def shift_plain_many(self, x, amounts, left: bool):
+    def shift_plain_many_g(self, x, amounts, left: bool):
         """Batched plain-amount shifts, one per row of x with its own
         amount. Block relabels are free; all rows with an odd amount share
         ONE bootstrap round (a batched 2*x propagate for SHL, one
@@ -446,19 +468,20 @@ class RadixOps:
         sel = jnp.asarray(odd, dtype=jnp.int32)
         sub = base[sel]
         if left:
-            upd = _propagate(self.dsk, self.tp, 2 * sub)
+            upd = yield from _propagate_g(self.tp, 2 * sub)
         else:
             bs = len(odd)
             flat = sub.reshape(bs * nb, p.n + 1)
-            halves, lob2 = _bootstrap_multi(
-                self.dsk, [flat, flat], [self.tp.half, self.tp.lobit2]
-            )
+            halves, lob2 = yield [
+                (flat, self.tp.half),
+                (flat, self.tp.lobit2),
+            ]
             halves = halves.reshape(bs, nb, p.n + 1)
             lob2 = lob2.reshape(bs, nb, p.n + 1)
             upd = halves.at[:, : nb - 1].add(lob2[:, 1:])
         return base.at[sel].set(upd)
 
-    def shift_ct(self, x, y, left: bool):
+    def shift_ct_g(self, x, y, left: bool):
         """Shift by encrypted amount: mux ladder over the amount's bits
         (amounts >= width wrap mod width; documented)."""
         p = self.params
@@ -466,19 +489,17 @@ class RadixOps:
         width = 2 * nb
         ybits = []
         flat = y.reshape(B * nb, p.n + 1)
-        los, his = _bootstrap_multi(
-            self.dsk, [flat, flat], [self.tp.lobit, self.tp.hibit]
-        )
+        los, his = yield [(flat, self.tp.lobit), (flat, self.tp.hibit)]
         los = los.reshape(B, nb, p.n + 1)
         his = his.reshape(B, nb, p.n + 1)
         for k in range(max(1, (width - 1).bit_length())):
             ybits.append(his[:, k // 2] if k % 2 else los[:, k // 2])
         for k, sel in enumerate(ybits):
-            shifted = self.shift_plain(x, 1 << k, left)
-            x = self._mux_blocks(sel, shifted, x)
+            shifted = yield from self.shift_plain_g(x, 1 << k, left)
+            x = yield from self._mux_blocks_g(sel, shifted, x)
         return x
 
-    def _mux_blocks(self, sel, a, b):
+    def _mux_blocks_g(self, sel, a, b):
         """per-block sel ? a : b via two bivariate products + add."""
         p = self.params
         B, nb = a.shape[0], a.shape[1]
@@ -486,10 +507,42 @@ class RadixOps:
         not_sel = not_sel.at[:, p.n].add(jnp.uint32(p.delta))
         pre1 = jnp.concatenate([4 * sel + a[:, i] for i in range(nb)])
         pre2 = jnp.concatenate([4 * not_sel + b[:, i] for i in range(nb)])
-        t1, t2 = _bootstrap_multi(
-            self.dsk, [pre1, pre2], [self.tp.mul_lo, self.tp.mul_lo]
-        )
+        t1, t2 = yield [(pre1, self.tp.mul_lo), (pre2, self.tp.mul_lo)]
         blocks = [
             t1[i * B : (i + 1) * B] + t2[i * B : (i + 1) * B] for i in range(nb)
         ]
-        return _propagate(self.dsk, self.tp, jnp.stack(blocks, axis=1))
+        return (yield from _propagate_g(self.tp, jnp.stack(blocks, axis=1)))
+
+    # -- synchronous single-op drivers ----------------------------------
+    def add(self, x, y, with_carry: bool = False):
+        return _run(self.dsk, self.add_g(x, y, with_carry=with_carry))
+
+    def sub(self, x, y, with_carry: bool = False):
+        return _run(self.dsk, self.sub_g(x, y, with_carry=with_carry))
+
+    def add_sub_mixed(self, x, y, is_sub):
+        return _run(self.dsk, self.add_sub_mixed_g(x, y, is_sub))
+
+    def add_scalar_block0(self, x, v: int):
+        return _run(self.dsk, self.add_scalar_block0_g(x, v))
+
+    def mul(self, x, y):
+        return _run(self.dsk, self.mul_g(x, y))
+
+    def mul_plain(self, x, c: int):
+        return _run(self.dsk, self.mul_plain_g(x, c))
+
+    def div(self, x, y):
+        return _run(self.dsk, self.div_g(x, y))
+
+    def shift_plain(self, x, amount: int, left: bool):
+        return _run(self.dsk, self.shift_plain_g(x, amount, left))
+
+    def shift_plain_many(self, x, amounts, left: bool):
+        return _run(self.dsk, self.shift_plain_many_g(x, amounts, left))
+
+    def shift_ct(self, x, y, left: bool):
+        return _run(self.dsk, self.shift_ct_g(x, y, left))
+
+    def _mux_blocks(self, sel, a, b):
+        return _run(self.dsk, self._mux_blocks_g(sel, a, b))

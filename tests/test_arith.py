@@ -192,6 +192,29 @@ def test_arith_batched_serving(engine_u8):
             assert out[w] == exp[w], (inputs, w)
 
 
+def test_dataflow_scheduler_launch_count(engine_u8):
+    """The dataflow scheduler merges every round's PBS requests across all
+    runnable gates, so total launches track the critical-path depth in
+    bootstrap rounds — for chi-squared u8 that is well under the sum of
+    per-level per-op-type chains (~35 with level-group batching)."""
+    from helm_tpu.engines import radix
+
+    nl = read_verilog_file("benchmarks/netlists/chi_squared_arith.v", True)
+    e = engine_u8
+    e.compile(nl)
+    inputs = {"n0": 10, "n1": 20, "n2": 30}
+    w = e.encrypt_inputs(inputs)
+    radix.LAUNCHES[0] = 0
+    out = e.decrypt_outputs(e.evaluate(w))
+    assert radix.LAUNCHES[0] <= 28, radix.LAUNCHES[0]
+    c = Circuit.from_netlist(nl)
+    exp = c.evaluate_arith(
+        c.initialize_wire_map(nl.wire_set, inputs, default=0), 8
+    )
+    for k in out:
+        assert out[k] == exp[k], k
+
+
 def test_chi_squared_u8():
     nl = read_verilog_file("benchmarks/netlists/chi_squared_arith.v", True)
     e = ArithEngine("u8", params=P.TEST_PARAMS_ARITH, seed=6)
