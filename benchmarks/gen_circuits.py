@@ -174,6 +174,201 @@ def crc32_circuit() -> str:
     return "\n".join(L) + "\n"
 
 
+# ---------------------------------------------------------------------------
+# AES-128 (the `aes-core`/`aes-128` family of RUNNING.md): full encryption
+# with the key schedule computed in-circuit, as a LUT-mode netlist — every
+# S-box output bit is one 8-input LUT (Shannon-decomposed by the engine,
+# circuit/plan.py:decompose_wide_luts), the linear layer is 2-input XOR LUTs,
+# and Rcon constant-XORs are 1-input NOT LUTs.
+# ---------------------------------------------------------------------------
+
+
+def aes_sbox() -> list[int]:
+    """FIPS-197 §5.1.1 S-box, computed algebraically (GF(2^8) inverse with
+    modulus x^8+x^4+x^3+x+1, then the affine transform)."""
+
+    def gmul(a: int, b: int) -> int:
+        r = 0
+        while b:
+            if b & 1:
+                r ^= a
+            a <<= 1
+            if a & 0x100:
+                a ^= 0x11B
+            b >>= 1
+        return r
+
+    inv = [0] * 256
+    for x in range(1, 256):
+        for y in range(1, 256):
+            if gmul(x, y) == 1:
+                inv[x] = y
+                break
+    out = []
+    for x in range(256):
+        b = inv[x]
+        s = b
+        for r in range(1, 5):
+            s ^= ((b << r) | (b >> (8 - r))) & 0xFF
+        out.append(s ^ 0x63)
+    return out
+
+
+AES_RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
+
+
+def aes_encrypt(pt: bytes, key: bytes, rounds: int = 10) -> bytes:
+    """Reference AES-128 encryption (plaintext oracle for the netlist).
+    rounds < 10 gives the reduced-round variant the fast encrypted tests
+    use: ARK0, then `rounds` rounds with MixColumns omitted in the last."""
+    sbox = aes_sbox()
+
+    def xt(b):
+        return ((b << 1) ^ (0x1B if b & 0x80 else 0)) & 0xFF
+
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
+    for i in range(4, 4 * (rounds + 1)):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = [sbox[t[1]], sbox[t[2]], sbox[t[3]], sbox[t[0]]]
+            t[0] ^= AES_RCON[i // 4 - 1]
+        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+    # state[r][c] = block byte c*4+r
+    s = [[pt[c * 4 + r] ^ w[c][r] for c in range(4)] for r in range(4)]
+    for rnd_i in range(1, rounds + 1):
+        s = [[sbox[b] for b in row] for row in s]
+        s = [[s[r][(c + r) % 4] for c in range(4)] for r in range(4)]
+        if rnd_i != rounds:
+            ns = [[0] * 4 for _ in range(4)]
+            for c in range(4):
+                a = [s[r][c] for r in range(4)]
+                ns[0][c] = xt(a[0]) ^ xt(a[1]) ^ a[1] ^ a[2] ^ a[3]
+                ns[1][c] = a[0] ^ xt(a[1]) ^ xt(a[2]) ^ a[2] ^ a[3]
+                ns[2][c] = a[0] ^ a[1] ^ xt(a[2]) ^ xt(a[3]) ^ a[3]
+                ns[3][c] = xt(a[0]) ^ a[0] ^ a[1] ^ a[2] ^ xt(a[3])
+            s = ns
+        rk = w[4 * rnd_i : 4 * rnd_i + 4]
+        s = [[s[r][c] ^ rk[c][r] for c in range(4)] for r in range(4)]
+    return bytes(s[r % 4][r // 4] for r in range(16))
+
+
+def aes128_circuit(rounds: int = 10, name: str = "aes128") -> str:
+    """AES-128 encryption netlist. Bytes are 8 wires LSB-first; block byte
+    j occupies bits [8j, 8j+8) of the 128-bit pt/key/ct vectors."""
+    sbox = aes_sbox()
+    lines: list[str] = []
+    gid = [0]
+    wid = [0]
+
+    def fresh() -> str:
+        wid[0] += 1
+        return f"w{wid[0]}"
+
+    def lut(const: int, ins: list[str], out: str) -> None:
+        gid[0] += 1
+        lines.append(f"  lut g{gid[0]}(0x{const:x}, {', '.join(ins)}, {out});")
+
+    # a bit is a wire name (str) or a constant 0/1 (int)
+    def bxor(a, b, out: str | None = None):
+        if isinstance(a, int) and isinstance(b, int):
+            assert out is None
+            return a ^ b
+        if isinstance(a, int):
+            a, b = b, a
+        if b == 0:
+            assert out is None  # only Rcon bits are constants; never forced
+            return a
+        o = out or fresh()
+        if b == 1:
+            lut(0b01, [a], o)  # 1-input LUT = NOT (reference gates.rs:769)
+        else:
+            lut(0b0110, [a, b], o)  # idx = 2a+b -> XOR
+        return o
+
+    def xor_bytes(x, y, outs: list[str] | None = None):
+        return [
+            bxor(a, b, outs[i] if outs else None)
+            for i, (a, b) in enumerate(zip(x, y))
+        ]
+
+    def sbox_byte(bits):  # 8 wire names LSB-first -> 8 fresh wires
+        ins = list(reversed(bits))  # first LUT input = index MSB
+        outs = []
+        for b in range(8):
+            const = 0
+            for v in range(256):
+                const |= ((sbox[v] >> b) & 1) << v
+            o = fresh()
+            lut(const, ins, o)
+            outs.append(o)
+        return outs
+
+    def xtime(bits):
+        return [
+            bits[7],
+            bxor(bits[0], bits[7]),
+            bits[1],
+            bxor(bits[2], bits[7]),
+            bxor(bits[3], bits[7]),
+            bits[4],
+            bits[5],
+            bits[6],
+        ]
+
+    pt = [[f"pt[{8 * j + i}]" for i in range(8)] for j in range(16)]
+    key = [[f"key[{8 * j + i}]" for i in range(8)] for j in range(16)]
+
+    # key schedule (words of 4 bytes)
+    w = [key[4 * i : 4 * i + 4] for i in range(4)]
+    for i in range(4, 4 * (rounds + 1)):
+        t = [list(b) for b in w[i - 1]]
+        if i % 4 == 0:
+            t = [sbox_byte(t[1]), sbox_byte(t[2]), sbox_byte(t[3]), sbox_byte(t[0])]
+            rc = AES_RCON[i // 4 - 1]
+            t[0] = [bxor(t[0][k], (rc >> k) & 1) for k in range(8)]
+        w.append([xor_bytes(a, b) for a, b in zip(w[i - 4], t)])
+
+    s = [[xor_bytes(pt[c * 4 + r], w[c][r]) for c in range(4)] for r in range(4)]
+    for rnd_i in range(1, rounds + 1):
+        s = [[sbox_byte(b) for b in row] for row in s]
+        s = [[s[r][(c + r) % 4] for c in range(4)] for r in range(4)]
+        if rnd_i != rounds:
+            ns = [[None] * 4 for _ in range(4)]
+            for c in range(4):
+                a = [s[r][c] for r in range(4)]
+                x = [xtime(b) for b in a]
+                ns[0][c] = xor_bytes(xor_bytes(x[0], x[1]), xor_bytes(a[1], xor_bytes(a[2], a[3])))
+                ns[1][c] = xor_bytes(xor_bytes(a[0], x[1]), xor_bytes(x[2], xor_bytes(a[2], a[3])))
+                ns[2][c] = xor_bytes(xor_bytes(a[0], a[1]), xor_bytes(x[2], xor_bytes(x[3], a[3])))
+                ns[3][c] = xor_bytes(xor_bytes(x[0], a[0]), xor_bytes(a[1], xor_bytes(a[2], x[3])))
+            s = ns
+        rk = w[4 * rnd_i : 4 * rnd_i + 4]
+        is_last = rnd_i == rounds
+        s = [
+            [
+                xor_bytes(
+                    s[r][c],
+                    rk[c][r],
+                    outs=[f"ct[{8 * (c * 4 + r) + k}]" for k in range(8)]
+                    if is_last
+                    else None,
+                )
+                for c in range(4)
+            ]
+            for r in range(4)
+        ]
+
+    head = [
+        f"// AES-128 encryption ({rounds} rounds), key schedule in-circuit;",
+        "// S-box bits are 8-input LUTs, linear layer 2-input XOR LUTs",
+        f"module {name}(pt, key, ct);",
+        "  input [127:0] pt;",
+        "  input [127:0] key;",
+        "  output [127:0] ct;",
+    ]
+    return "\n".join(head + lines + ["endmodule"]) + "\n"
+
+
 CHI_SQUARED = """\
 // chi-squared test (iDASH) — behavioral arithmetic, HELM processed form
 // alpha=(4 n0 n2 - n1^2)^2; beta1=2(2 n0+n1)^2; beta2=(2 n0+n1)(2 n2+n1);
@@ -216,6 +411,7 @@ def main(outdir: str = "benchmarks/netlists"):
     (out / "c7552-like.v").write_text(random_levelized("c7552like", 207, 3512, 108, seed=7552))
     (out / "chi_squared_arith.v").write_text(CHI_SQUARED)
     (out / "crc32.v").write_text(crc32_circuit())
+    (out / "aes128.v").write_text(aes128_circuit(10))
     print(f"wrote netlists to {out}")
 
 

@@ -333,6 +333,73 @@ endmodule
         assert out["y"] == table[v], v
 
 
+def _aes_bit_inputs(pt: bytes, key: bytes) -> dict:
+    inputs = {}
+    for j in range(16):
+        for i in range(8):
+            inputs[f"pt[{8 * j + i}]"] = bool((pt[j] >> i) & 1)
+            inputs[f"key[{8 * j + i}]"] = bool((key[j] >> i) & 1)
+    return inputs
+
+
+def _aes_ct_bytes(out: dict) -> bytes:
+    return bytes(
+        sum(int(out[f"ct[{8 * j + i}]"]) << i for i in range(8))
+        for j in range(16)
+    )
+
+
+_FIPS_PT = bytes.fromhex("00112233445566778899aabbccddeeff")
+_FIPS_KEY = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+
+
+def test_aes128_reference_vector():
+    """The AES oracle reproduces FIPS-197 appendix C.1."""
+    import sys
+
+    sys.path.insert(0, "benchmarks")
+    from gen_circuits import aes_encrypt
+
+    assert (
+        aes_encrypt(_FIPS_PT, _FIPS_KEY).hex()
+        == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    )
+
+
+def test_aes128_netlist_oracle():
+    """Full 10-round AES-128 netlist (key schedule in-circuit, 9.3k LUT
+    cells) evaluates to the FIPS-197 ciphertext under the plaintext
+    oracle — the aes-core/aes-128 family of the reference's RUNNING.md."""
+    nl = read_verilog_file("benchmarks/netlists/aes128.v")
+    c = Circuit.from_netlist(nl)
+    wm = c.evaluate(
+        c.initialize_wire_map(
+            nl.wire_set, _aes_bit_inputs(_FIPS_PT, _FIPS_KEY), default=False
+        )
+    )
+    out = {w: wm[w] for w in c.output_wires}
+    assert _aes_ct_bytes(out).hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+
+
+def test_aes128_one_round_encrypted():
+    """Reduced-round AES (ARK + SubBytes/ShiftRows/ARK, 545 cells incl.
+    8-input S-box LUTs) decrypts to the reduced-round oracle bit-exactly."""
+    import sys
+
+    sys.path.insert(0, "benchmarks")
+    from gen_circuits import aes128_circuit, aes_encrypt
+
+    from helm_tpu.circuit.verilog import parse_verilog
+
+    nl = parse_verilog(aes128_circuit(1, name="aes1r"))
+    e = BooleanEngine(mode="lut", params=P.TEST_PARAMS_LUT, seed=42)
+    e.compile(nl)
+    out = e.decrypt_outputs(
+        e.evaluate(e.encrypt_inputs(_aes_bit_inputs(_FIPS_PT, _FIPS_KEY)))
+    )
+    assert _aes_ct_bytes(out) == aes_encrypt(_FIPS_PT, _FIPS_KEY, rounds=1)
+
+
 def test_engine_mxu_backend_two_bit_adder():
     """BooleanEngine with the fused MXU kernel backend (interpret on CPU),
     including the multi-bit variant via grouped params."""
