@@ -369,6 +369,325 @@ def aes128_circuit(rounds: int = 10, name: str = "aes128") -> str:
     return "\n".join(head + lines + ["endmodule"]) + "\n"
 
 
+# ---------------------------------------------------------------------------
+# AES-128 in GATES mode: composite-field S-box (Satoh/Canright construction,
+# derived algorithmically below) — GF(2^8) inversion via GF((2^4)^2), all
+# gates and/xor/not, ~2.4x fewer bootstraps per S-box than the Shannon'd
+# 8-input LUT and it runs on the faster gates-mode parameters.
+# ---------------------------------------------------------------------------
+
+
+def _gf16_mul(a: int, b: int) -> int:
+    """GF(2^4) with modulus w^4 + w + 1."""
+    r = 0
+    while b:
+        if b & 1:
+            r ^= a
+        a <<= 1
+        if a & 0x10:
+            a ^= 0x13
+        b >>= 1
+    return r
+
+
+def _gf16_inv(a: int) -> int:
+    if a == 0:
+        return 0
+    for y in range(1, 16):
+        if _gf16_mul(a, y) == 1:
+            return y
+    raise AssertionError
+
+
+def _composite_field_maps():
+    """Isomorphism GF(2^8) (x^8+x^4+x^3+x+1) -> GF(2^4)[Y]/(Y^2+Y+lam),
+    elements encoded as bits [b0..b3, a0..a3] for aY + b. Returns
+    (delta, delta_inv) as 8x8 GF(2) matrices (lists of row bitmasks is
+    inconvenient — use list of 8 column vectors) and lam."""
+
+    def comp_mul(u: int, v: int, lam: int) -> int:
+        au, bu = (u >> 4) & 0xF, u & 0xF
+        av, bv = (v >> 4) & 0xF, v & 0xF
+        # (au Y + bu)(av Y + bv), Y^2 = Y + lam
+        t = _gf16_mul(au, av)
+        a = t ^ _gf16_mul(au, bv) ^ _gf16_mul(bu, av)
+        b = _gf16_mul(t, lam) ^ _gf16_mul(bu, bv)
+        return (a << 4) | b
+
+    def gf256_mul(a: int, b: int) -> int:
+        r = 0
+        while b:
+            if b & 1:
+                r ^= a
+            a <<= 1
+            if a & 0x100:
+                a ^= 0x11B
+            b >>= 1
+        return r
+
+    # lam with Y^2+Y+lam irreducible over GF(16): no y solves y^2+y = lam
+    traces = {_gf16_mul(y, y) ^ y for y in range(16)}
+    lam = next(l for l in range(1, 16) if l not in traces)
+    # root of the AES modulus in the composite field -> delta(0x02)
+    for r in range(2, 256):
+        # evaluate x^8 + x^4 + x^3 + x + 1 at r in the composite field
+        p = [1]  # powers r^0..r^8
+        for _ in range(8):
+            p.append(comp_mul(p[-1], r, lam))
+        if p[8] ^ p[4] ^ p[3] ^ p[1] ^ 1 == 0:
+            break
+    else:
+        raise AssertionError("no root found")
+    # delta columns: image of basis x^i
+    cols = []
+    v = 1
+    for _ in range(8):
+        cols.append(v)
+        v = comp_mul(v, r, lam)
+
+    def apply_cols(cols, x):
+        y = 0
+        for i in range(8):
+            if (x >> i) & 1:
+                y ^= cols[i]
+        return y
+
+    # invert the matrix (columns -> inverse columns) by Gaussian elim
+    mat = [[(cols[c] >> r_) & 1 for c in range(8)] for r_ in range(8)]
+    aug = [row + [1 if i == j else 0 for j in range(8)] for i, row in enumerate(mat)]
+    for c in range(8):
+        piv = next(r_ for r_ in range(c, 8) if aug[r_][c])
+        aug[c], aug[piv] = aug[piv], aug[c]
+        for r_ in range(8):
+            if r_ != c and aug[r_][c]:
+                aug[r_] = [x ^ y for x, y in zip(aug[r_], aug[c])]
+    inv_cols = [
+        sum(aug[r_][8 + c] << r_ for r_ in range(8)) for c in range(8)
+    ]
+    # sanity: delta is a field isomorphism
+    import random as _rnd
+
+    rng = _rnd.Random(0)
+    for _ in range(32):
+        a, b = rng.randrange(256), rng.randrange(256)
+        assert apply_cols(cols, gf256_mul(a, b)) == comp_mul(
+            apply_cols(cols, a), apply_cols(cols, b), lam
+        )
+        assert apply_cols(inv_cols, apply_cols(cols, a)) == a
+    return cols, inv_cols, lam
+
+
+class _GateEmitter:
+    """Boolean expression builder with structural sharing; bits are wire
+    names or the constants 0/1."""
+
+    def __init__(self):
+        self.lines: list[str] = []
+        self.cache: dict = {}
+        self.gid = 0
+        self.wid = 0
+
+    def _emit(self, kind: str, ins: list[str], out: str | None = None) -> str:
+        key = (kind, tuple(sorted(ins)))
+        if out is None and key in self.cache:
+            return self.cache[key]
+        if out is None:
+            self.wid += 1
+            out = f"n{self.wid}"
+        self.gid += 1
+        self.lines.append(f"  {kind} g{self.gid}({', '.join(ins)}, {out});")
+        self.cache[key] = out
+        return out
+
+    def bxor(self, a, b, out: str | None = None):
+        if isinstance(a, int) and isinstance(b, int):
+            assert out is None
+            return a ^ b
+        if isinstance(a, int):
+            a, b = b, a
+        if b == 0:
+            if out is None:
+                return a
+            return self._emit("buf", [a], out)
+        if b == 1:
+            return self._emit("not", [a], out)
+        if a == b:
+            assert out is None
+            return 0
+        return self._emit("xor", [a, b], out)
+
+    def band(self, a, b):
+        if a == 0 or b == 0:
+            return 0
+        if a == 1:
+            return b
+        if b == 1:
+            return a
+        if a == b:
+            return a
+        return self._emit("and", [a, b])
+
+    def xor_many(self, bits, out: str | None = None):
+        bits = [b for b in bits if not (isinstance(b, int) and b == 0)]
+        if not bits:
+            assert out is None
+            return 0
+        if len(bits) == 1:
+            return self.bxor(bits[0], 0, out) if out else bits[0]
+        acc = bits[0]
+        for b in bits[1:-1]:
+            acc = self.bxor(acc, b)
+        return self.bxor(acc, bits[-1], out)
+
+    def linear(self, cols: list[int], bits, n_out: int = None):
+        """y = M x over GF(2), M given as column bitmasks (col i = image
+        of input bit i)."""
+        n_out = n_out or 8
+        outs = []
+        for r in range(n_out):
+            outs.append(self.xor_many([bits[i] for i in range(len(bits)) if (cols[i] >> r) & 1] or [0]))
+        return outs
+
+    def gf16_mul_bits(self, x, y):
+        """GF(2^4) product of two 4-bit vectors of wires."""
+        # t[i][j] = x_i & y_j; output bit r = XOR of t[i][j] with
+        # coefficient from w^(i+j) reduced mod w^4+w+1
+        red = []  # w^k as 4-bit mask, k = 0..6
+        v = 1
+        for _ in range(7):
+            red.append(v)
+            v <<= 1
+            if v & 0x10:
+                v ^= 0x13
+        terms = [[] for _ in range(4)]
+        for i in range(4):
+            for j in range(4):
+                t = self.band(x[i], y[j])
+                m = red[i + j]
+                for r in range(4):
+                    if (m >> r) & 1:
+                        terms[r].append(t)
+        return [self.xor_many(ts or [0]) for ts in terms]
+
+
+def aes_sbox_gates(em: _GateEmitter, bits, maps=[]):
+    """Emit the composite-field S-box over 8 input bit wires (LSB-first);
+    returns 8 output bits (possibly with constant NOTs folded in)."""
+    if not maps:
+        maps.append(_composite_field_maps())
+    cols, inv_cols, lam = maps[0]
+    # GF(2^4) linear helpers as column masks: x^2 is linear, col i = (w^i)^2
+    sq_cols = [_gf16_mul(1 << i, 1 << i) for i in range(4)]
+    sqlam_cols = [_gf16_mul(_gf16_mul(1 << i, 1 << i), lam) for i in range(4)]
+    # x^2 is linear: column i = (w^i)^2
+    d = em.linear(cols, bits)  # composite representation [b(4) | a(4)]
+    b, a = d[:4], d[4:]
+    apb = [em.bxor(ai, bi) for ai, bi in zip(a, b)]
+    # Delta = a^2 * lam + a*b + b^2  (a*b = a*(a+b) + a^2 — reuse either way)
+    ab = em.gf16_mul_bits(a, b)
+    a2l = em.linear(sqlam_cols, a, 4)
+    b2 = em.linear(sq_cols, b, 4)
+    delta = [em.xor_many([ab[i], a2l[i], b2[i]]) for i in range(4)]
+    # Delta^-1 = Delta^14 = (d^2 * d^4) * d^8 ; squarings linear
+    d2 = em.linear(sq_cols, delta, 4)
+    d4 = em.linear(sq_cols, d2, 4)
+    d8 = em.linear(sq_cols, d4, 4)
+    d6 = em.gf16_mul_bits(d2, d4)
+    dinv = em.gf16_mul_bits(d6, d8)
+    # inverse = (a * Dinv) Y + (a+b) * Dinv
+    ia = em.gf16_mul_bits(a, dinv)
+    ib = em.gf16_mul_bits(apb, dinv)
+    comp = ib + ia
+    # back to GF(2^8), then the AES affine transform + 0x63
+    y = em.linear(inv_cols, comp)
+    aff_cols = []
+    for i in range(8):
+        col = 0
+        for r in range(1, 5):
+            col |= 1 << ((i + r) % 8)
+        col |= 1 << i
+        aff_cols.append(col)
+    s = em.linear(aff_cols, y)
+    return [em.bxor(s[k], (0x63 >> k) & 1) for k in range(8)]
+
+
+def aes128_gates_circuit(rounds: int = 10, name: str = "aes128g") -> str:
+    """AES-128 encryption as a pure gates netlist (and/xor/not/buf):
+    composite-field S-boxes, XOR linear layer, key schedule in-circuit.
+    Same wire conventions as aes128_circuit."""
+    em = _GateEmitter()
+
+    def sbox_byte(bits):
+        return aes_sbox_gates(em, bits)
+
+    def xor_bytes(x, y, outs=None):
+        return [
+            em.bxor(p, q, outs[i] if outs else None)
+            for i, (p, q) in enumerate(zip(x, y))
+        ]
+
+    def xtime(bits):
+        return [
+            bits[7],
+            em.bxor(bits[0], bits[7]),
+            bits[1],
+            em.bxor(bits[2], bits[7]),
+            em.bxor(bits[3], bits[7]),
+            bits[4],
+            bits[5],
+            bits[6],
+        ]
+
+    pt = [[f"pt[{8 * j + i}]" for i in range(8)] for j in range(16)]
+    key = [[f"key[{8 * j + i}]" for i in range(8)] for j in range(16)]
+    w = [key[4 * i : 4 * i + 4] for i in range(4)]
+    for i in range(4, 4 * (rounds + 1)):
+        t = [list(bb) for bb in w[i - 1]]
+        if i % 4 == 0:
+            t = [sbox_byte(t[1]), sbox_byte(t[2]), sbox_byte(t[3]), sbox_byte(t[0])]
+            rc = AES_RCON[i // 4 - 1]
+            t[0] = [em.bxor(t[0][k], (rc >> k) & 1) for k in range(8)]
+        w.append([xor_bytes(p, q) for p, q in zip(w[i - 4], t)])
+    s = [[xor_bytes(pt[c * 4 + r], w[c][r]) for c in range(4)] for r in range(4)]
+    for rnd_i in range(1, rounds + 1):
+        s = [[sbox_byte(bb) for bb in row] for row in s]
+        s = [[s[r][(c + r) % 4] for c in range(4)] for r in range(4)]
+        if rnd_i != rounds:
+            ns = [[None] * 4 for _ in range(4)]
+            for c in range(4):
+                a = [s[r][c] for r in range(4)]
+                x = [xtime(bb) for bb in a]
+                ns[0][c] = [em.xor_many([x[0][k], x[1][k], a[1][k], a[2][k], a[3][k]]) for k in range(8)]
+                ns[1][c] = [em.xor_many([a[0][k], x[1][k], x[2][k], a[2][k], a[3][k]]) for k in range(8)]
+                ns[2][c] = [em.xor_many([a[0][k], a[1][k], x[2][k], x[3][k], a[3][k]]) for k in range(8)]
+                ns[3][c] = [em.xor_many([x[0][k], a[0][k], a[1][k], a[2][k], x[3][k]]) for k in range(8)]
+            s = ns
+        rk = w[4 * rnd_i : 4 * rnd_i + 4]
+        is_last = rnd_i == rounds
+        s = [
+            [
+                xor_bytes(
+                    s[r][c],
+                    rk[c][r],
+                    outs=[f"ct[{8 * (c * 4 + r) + k}]" for k in range(8)]
+                    if is_last
+                    else None,
+                )
+                for c in range(4)
+            ]
+            for r in range(4)
+        ]
+    head = [
+        f"// AES-128 encryption ({rounds} rounds), gates mode: composite-field",
+        "// GF((2^4)^2) S-boxes (Satoh/Canright), key schedule in-circuit",
+        f"module {name}(pt, key, ct);",
+        "  input [127:0] pt;",
+        "  input [127:0] key;",
+        "  output [127:0] ct;",
+    ]
+    return "\n".join(head + em.lines + ["endmodule"]) + "\n"
+
+
 CHI_SQUARED = """\
 // chi-squared test (iDASH) — behavioral arithmetic, HELM processed form
 // alpha=(4 n0 n2 - n1^2)^2; beta1=2(2 n0+n1)^2; beta2=(2 n0+n1)(2 n2+n1);
@@ -412,6 +731,7 @@ def main(outdir: str = "benchmarks/netlists"):
     (out / "chi_squared_arith.v").write_text(CHI_SQUARED)
     (out / "crc32.v").write_text(crc32_circuit())
     (out / "aes128.v").write_text(aes128_circuit(10))
+    (out / "aes128-gates.v").write_text(aes128_gates_circuit(10))
     print(f"wrote netlists to {out}")
 
 

@@ -381,6 +381,67 @@ def test_aes128_netlist_oracle():
     assert _aes_ct_bytes(out).hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
 
 
+def test_aes_sbox_gates_all_256():
+    """Composite-field (GF((2^4)^2)) S-box gate circuit matches the real
+    S-box table on every input."""
+    import sys
+
+    sys.path.insert(0, "benchmarks")
+    from gen_circuits import _GateEmitter, aes_sbox, aes_sbox_gates
+
+    from helm_tpu.circuit.verilog import parse_verilog
+
+    em = _GateEmitter()
+    outs = aes_sbox_gates(em, [f"x[{i}]" for i in range(8)])
+    post = [f"  buf ob{k}({outs[k]}, y[{k}]);" for k in range(8)]
+    src = (
+        "module sboxg(x, y);\n  input [7:0] x;\n  output [7:0] y;\n"
+        + "\n".join(em.lines + post)
+        + "\nendmodule\n"
+    )
+    nl = parse_verilog(src)
+    c = Circuit.from_netlist(nl)
+    sb = aes_sbox()
+    for v in range(256):
+        inputs = {f"x[{i}]": bool((v >> i) & 1) for i in range(8)}
+        wm = c.evaluate(
+            c.initialize_wire_map(nl.wire_set, inputs, default=False)
+        )
+        assert sum(int(wm[f"y[{k}]"]) << k for k in range(8)) == sb[v], v
+
+
+def test_aes128_gates_netlist_oracle():
+    """Gates-mode AES-128 (composite-field S-boxes, 57.7k gates) matches
+    FIPS-197 C.1 under the plaintext oracle."""
+    nl = read_verilog_file("benchmarks/netlists/aes128-gates.v")
+    c = Circuit.from_netlist(nl)
+    wm = c.evaluate(
+        c.initialize_wire_map(
+            nl.wire_set, _aes_bit_inputs(_FIPS_PT, _FIPS_KEY), default=False
+        )
+    )
+    out = {w: wm[w] for w in c.output_wires}
+    assert _aes_ct_bytes(out).hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+
+
+def test_aes128_gates_one_round_encrypted(gates_engine):
+    """Reduced-round gates-mode AES decrypts to the oracle bit-exactly."""
+    import sys
+
+    sys.path.insert(0, "benchmarks")
+    from gen_circuits import aes128_gates_circuit, aes_encrypt
+
+    from helm_tpu.circuit.verilog import parse_verilog
+
+    nl = parse_verilog(aes128_gates_circuit(1, name="aes1rg"))
+    e = gates_engine
+    e.compile(nl)
+    out = e.decrypt_outputs(
+        e.evaluate(e.encrypt_inputs(_aes_bit_inputs(_FIPS_PT, _FIPS_KEY)))
+    )
+    assert _aes_ct_bytes(out) == aes_encrypt(_FIPS_PT, _FIPS_KEY, rounds=1)
+
+
 def test_aes128_one_round_encrypted():
     """Reduced-round AES (ARK + SubBytes/ShiftRows/ARK, 545 cells incl.
     8-input S-box LUTs) decrypts to the reduced-round oracle bit-exactly."""
