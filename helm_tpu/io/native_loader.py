@@ -1,0 +1,109 @@
+"""ctypes binding to the native data loader (native/loader.cpp).
+
+CSV test-vector parsing and threaded batch LWE encryption in C++ for giant
+batched-serving vector sets; falls back to the Python csv_io / numpy
+encrypt path transparently when the shared library has not been built
+(`make -C native`). Both paths produce semantically identical results
+(identical CSV expansion; encryption differs only in randomness — see
+tests/test_native.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+
+import numpy as np
+
+_LIB = None
+_LIB_TRIED = False
+
+_SO_PATHS = [
+    Path(__file__).resolve().parents[2] / "native" / "libhelm_loader.so",
+    Path(os.environ["HELM_TPU_NATIVE_LOADER"])
+    if os.environ.get("HELM_TPU_NATIVE_LOADER")
+    else None,
+]
+
+
+def _load():
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    for p in _SO_PATHS:
+        if p and p.exists():
+            lib = ctypes.CDLL(str(p))
+            lib.helm_read_input_csv.restype = ctypes.c_void_p
+            lib.helm_read_input_csv.argtypes = [ctypes.c_char_p, ctypes.c_int]
+            lib.helm_loader_free.argtypes = [ctypes.c_void_p]
+            lib.helm_encrypt_lwe.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32),  # key
+                ctypes.c_int,  # n
+                ctypes.POINTER(ctypes.c_uint32),  # mu
+                ctypes.c_long,  # m
+                ctypes.c_double,  # noise_std
+                ctypes.c_uint64,  # seed
+                ctypes.c_int,  # nthreads
+                ctypes.POINTER(ctypes.c_uint32),  # out
+            ]
+            _LIB = lib
+            break
+    return _LIB
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def read_input_wires(file_name: str, ptxt_type: str) -> dict:
+    """Same contract as io/csv_io.read_input_wires, parsed in C++."""
+    lib = _load()
+    if lib is None:
+        from . import csv_io
+
+        return csv_io.read_input_wires(file_name, ptxt_type)
+    is_bool = 1 if ptxt_type == "bool" else 0
+    ptr = lib.helm_read_input_csv(file_name.encode(), is_bool)
+    if not ptr:
+        raise ValueError(f"unreadable or malformed input CSV: {file_name}")
+    try:
+        text = ctypes.string_at(ptr).decode()
+    finally:
+        lib.helm_loader_free(ptr)
+    out: dict = {}
+    for line in text.splitlines():
+        name, _, val = line.partition("=")
+        out[name] = bool(int(val)) if is_bool else int(val)
+    return out
+
+
+def encrypt_batch(
+    key: np.ndarray,
+    mu: np.ndarray,
+    noise_std: float,
+    seed: int,
+    nthreads: int = 0,
+) -> np.ndarray:
+    """Batch LWE encryption of torus messages mu (uint32 [...]) under key
+    (uint32 [n]): returns uint32 [..., n+1]. All cores by default."""
+    lib = _load()
+    n = int(key.shape[0])
+    shape = mu.shape
+    mu_flat = np.ascontiguousarray(mu.reshape(-1), dtype=np.uint32)
+    key = np.ascontiguousarray(key, dtype=np.uint32)
+    m = mu_flat.shape[0]
+    out = np.empty((m, n + 1), dtype=np.uint32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.helm_encrypt_lwe(
+        key.ctypes.data_as(u32p),
+        n,
+        mu_flat.ctypes.data_as(u32p),
+        m,
+        float(noise_std),
+        seed & 0xFFFFFFFFFFFFFFFF,
+        nthreads,
+        out.ctypes.data_as(u32p),
+    )
+    return out.reshape(*shape, n + 1)

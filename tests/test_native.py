@@ -63,3 +63,59 @@ def test_native_error_paths(tmp_path):
     )
     with pytest.raises(ValueError, match="mix LUTs"):
         native.parse_and_levelize(str(mixed))
+
+
+# --- native data loader (native/loader.cpp) -------------------------------
+
+
+def test_native_loader_csv_parity():
+    from helm_tpu.io import csv_io, native_loader
+
+    if not native_loader.native_available():
+        pytest.skip("native/libhelm_loader.so not built")
+    cases = [
+        ("benchmarks/test-cases/2-bit-adder.inputs.csv", "bool"),
+        ("benchmarks/test-cases/s27.inputs.csv", "bool"),
+        ("benchmarks/test-cases/8-bit-adder.inputs.csv", "bool"),
+        ("benchmarks/test-cases/chi_squared_arith_1.inputs.csv", "u32"),
+        ("benchmarks/test-cases/chi_squared_arith_2.inputs.csv", "u16"),
+    ]
+    for path, t in cases:
+        assert native_loader.read_input_wires(path, t) == csv_io.read_input_wires(path, t), path
+
+
+def test_native_loader_hex_width_expansion(tmp_path):
+    from helm_tpu.io import csv_io, native_loader
+
+    if not native_loader.native_available():
+        pytest.skip("native/libhelm_loader.so not built")
+    f = tmp_path / "in.csv"
+    f.write_text("wire, value\nin3, 5A, 8\nflag, true\nz, 0\n")
+    assert native_loader.read_input_wires(str(f), "bool") == csv_io.read_input_wires(str(f), "bool")
+
+
+def test_native_loader_batch_encrypt_roundtrip():
+    """Threaded C++ LWE encryption decrypts correctly and hits the
+    requested noise level (same contract as fhe/lwe.encrypt)."""
+    import numpy as np
+
+    from helm_tpu import params as P
+    from helm_tpu.fhe import lwe
+    from helm_tpu.io import native_loader
+
+    if not native_loader.native_available():
+        pytest.skip("native/libhelm_loader.so not built")
+    p = P.GATES_TPU
+    ck = lwe.keygen(p, seed=11)
+    bits = np.random.default_rng(1).integers(0, 2, 2048).astype(bool)
+    mu = lwe.encode_bool(bits)
+    ct = native_loader.encrypt_batch(ck.lwe_key, mu, p.lwe_noise_std, seed=3)
+    assert ct.shape == (2048, p.n + 1) and ct.dtype == np.uint32
+    assert (lwe.decode_bool(lwe.decrypt_phase(ck, ct)) == bits).all()
+    ph = lwe.decrypt_phase(ck, ct).astype(np.int64)
+    err = ((ph - mu.astype(np.int64) + 2**31) % 2**32) - 2**31
+    assert 0.7 * p.lwe_noise_std < err.std() < 1.3 * p.lwe_noise_std
+    # noiseless + fixed seed is deterministic
+    a = native_loader.encrypt_batch(ck.lwe_key, mu[:4], 0.0, seed=9)
+    b = native_loader.encrypt_batch(ck.lwe_key, mu[:4], 0.0, seed=9)
+    assert (a == b).all()
