@@ -65,7 +65,7 @@ def build_argparser() -> argparse.ArgumentParser:
         nargs="+",
         metavar="FILE",
         help="several input CSVs evaluated together in one batched pass "
-        "(serving shape; gates/LUT modes)",
+        "(serving shape; all modes incl. --arithmetic)",
     )
     ap.add_argument("-o", "--output-wires-file", metavar="FILE")
     ap.add_argument(
@@ -159,8 +159,12 @@ def _run_boolean(args, netlist) -> int:
     mode = "lut" if netlist.has_luts else "gates"
     print(f" -- {'LUTs' if mode == 'lut' else 'Gates'} mode --")
     if args.batch_input_files:
+        # giant vector sets parse in C++ when built (io/native_loader.py)
+        from .io import native_loader
+
         input_wire_map = [
-            csv_io.read_input_wires(f, "bool") for f in args.batch_input_files
+            native_loader.read_input_wires(f, "bool")
+            for f in args.batch_input_files
         ]
         print(f"[✓] Batched input wires: {len(input_wire_map)} vectors.")
     else:
@@ -246,8 +250,10 @@ def _run_arith(args, netlist) -> int:
 
     print(f" -- Arithmetic mode with {args.arithmetic} --")
     if args.batch_input_files:
+        from .io import native_loader
+
         input_wire_map = [
-            csv_io.read_input_wires(f, args.arithmetic)
+            native_loader.read_input_wires(f, args.arithmetic)
             for f in args.batch_input_files
         ]
         print(f"[✓] Batched input wires: {len(input_wire_map)} vectors.")

@@ -83,14 +83,14 @@ class ArithEngine:
         input maps evaluated together — every radix launch is V× wider,
         amortizing the per-launch blind-rotation latency floor)."""
         p = self.params
-        maps = (
-            input_wire_map
-            if isinstance(input_wire_map, list)
-            else [input_wire_map]
-        )
+        self._batched = isinstance(input_wire_map, list)
+        maps = input_wire_map if self._batched else [input_wire_map]
         W, V = len(self.wire_index), len(maps)
         wires = np.zeros((W, V, self.nb, p.n + 1), dtype=np.uint32)
         dff = set(self.netlist.dff_outputs)
+        # gather every (wire, vector) message, then ONE encryption call —
+        # giant serving batches hit the threaded C++ encryptor
+        slots, vals = [], []
         for vi, m in enumerate(maps):
             dummy = not m or "dummy" in m
             for w in self.circuit.input_wires:
@@ -104,9 +104,20 @@ class ArithEngine:
                     )
                 else:
                     val = int(m[w])
-                wires[self.wire_index[w], vi] = self._encrypt_value(val)
+                slots.append((self.wire_index[w], vi))
+                vals.append(val)
             for w in dff:
-                wires[self.wire_index[w], vi] = self._encrypt_value(0)
+                slots.append((self.wire_index[w], vi))
+                vals.append(0)
+        if slots:
+            blocks = np.array(
+                [[(v >> (2 * i)) & 3 for i in range(self.nb)] for v in vals]
+            )
+            cts = lwe.encrypt_many(
+                self.client_key, lwe.encode_msg(p, blocks)
+            )  # [S, nb, n+1]
+            for k, (wi, vi) in enumerate(slots):
+                wires[wi, vi] = cts[k]
         return jnp.asarray(wires)
 
     # -- evaluation ----------------------------------------------------
@@ -212,7 +223,7 @@ class ArithEngine:
             return vals[name]
 
         if t == GateType.COPY:
-            return None, vals[g.inputs[0]]
+            return None, opnd(g.inputs[0])
         if t == GateType.MULT:
             # ct (x) pt multiplies (numeric literal on either side — mult
             # commutes) take the cheap binary-expansion path; power-of-two
@@ -245,7 +256,8 @@ class ArithEngine:
         return int(sum(int(m) << (2 * i) for i, m in enumerate(msgs)))
 
     def decrypt_outputs(self, wires: jax.Array) -> dict | list:
-        """dict for single-vector runs; list of dicts for batched serving."""
+        """dict when encrypt_inputs got a single map; list of dicts (one
+        per vector, length preserved even at 1) when it got a list."""
         host = np.asarray(wires)
         outs = [
             {
@@ -254,7 +266,7 @@ class ArithEngine:
             }
             for vi in range(host.shape[1])
         ]
-        return outs[0] if len(outs) == 1 else outs
+        return outs if getattr(self, "_batched", host.shape[1] > 1) else outs[0]
 
     def decrypt_all_wires(self, wires: jax.Array) -> dict | list:
         host = np.asarray(wires)
@@ -265,4 +277,4 @@ class ArithEngine:
             }
             for vi in range(host.shape[1])
         ]
-        return outs[0] if len(outs) == 1 else outs
+        return outs if getattr(self, "_batched", host.shape[1] > 1) else outs[0]

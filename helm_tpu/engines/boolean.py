@@ -349,6 +349,43 @@ class BooleanEngine:
             )
         return wires
 
+    def _encrypt_host_batched(self, maps: list) -> np.ndarray:
+        """All B maps' input bits in ONE encryption call — giant serving
+        batches hit the threaded C++ encryptor via lwe.encrypt_many."""
+        p = self.params
+        zero = self._encode(False)
+        B, W = len(maps), self.plan.num_wires
+        arr = np.zeros((B, W, p.n + 1), dtype=np.uint32)
+        arr[:, :, p.n] = zero  # trivial encryptions of false/0
+        dff = set(self.plan.dff_outputs)
+        idxs, mus = [], []
+        for m in maps:
+            dummy = not m or "dummy" in m
+            for w in self.plan.input_wires:
+                if w in dff:
+                    continue
+                if dummy:
+                    val = False
+                elif w not in m:
+                    raise KeyError(
+                        f'Input wire "{w}" not found in input wires!'
+                    )
+                else:
+                    val = m[w]
+                idxs.append(self.plan.wire_index[w])
+                mus.append(self._encode(val))
+            for w in self.plan.dff_outputs:
+                idxs.append(self.plan.wire_index[w])
+                mus.append(self._encode(False))
+        if not idxs:
+            return arr
+        cts = lwe.encrypt_many(self.client_key, np.asarray(mus))
+        per = len(idxs) // B
+        for bi in range(B):
+            sl = slice(bi * per, (bi + 1) * per)
+            arr[bi, np.asarray(idxs[sl])] = cts[sl]
+        return arr
+
     def encrypt_inputs(self, input_wire_map) -> jax.Array:
         """Reference EvalCircuit::encrypt_inputs (circuit.rs:450-480).
 
@@ -357,7 +394,7 @@ class BooleanEngine:
         the throughput shape for narrow circuits, with no reference analog."""
         assert self.plan is not None
         if isinstance(input_wire_map, (list, tuple)):
-            arr = np.stack([self._encrypt_host(m) for m in input_wire_map])
+            arr = self._encrypt_host_batched(list(input_wire_map))
         else:
             arr = self._encrypt_host(input_wire_map)
         dev = jnp.asarray(arr)

@@ -60,6 +60,27 @@ def encrypt(
     return np.concatenate([a, b[..., None]], axis=-1)
 
 
+def encrypt_many(
+    ck: ClientKey, mu: np.ndarray, native_threshold: int = 1 << 13
+) -> np.ndarray:
+    """encrypt(), but giant batches route to the threaded C++ encryptor
+    (native/loader.cpp) when it is built — the client-side hot path of
+    batched serving. Below the threshold (or without the library) this is
+    exactly encrypt() including its rng stream."""
+    mu = np.asarray(mu, dtype=np.uint32)
+    if mu.size >= native_threshold:
+        from ..io import native_loader
+
+        if native_loader.native_available():
+            return native_loader.encrypt_batch(
+                ck.lwe_key,
+                mu,
+                ck.params.lwe_noise_std,
+                seed=int(ck.rng.integers(1 << 62)),
+            )
+    return encrypt(ck, mu)
+
+
 def decrypt_phase(ck: ClientKey, ct: np.ndarray, big: bool = False) -> np.ndarray:
     """Raw phase b - <a, s> (uint32 [...])."""
     key = ck.extracted_key if big else ck.lwe_key

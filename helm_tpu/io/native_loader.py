@@ -20,10 +20,10 @@ _LIB = None
 _LIB_TRIED = False
 
 _SO_PATHS = [
-    Path(__file__).resolve().parents[2] / "native" / "libhelm_loader.so",
     Path(os.environ["HELM_TPU_NATIVE_LOADER"])
     if os.environ.get("HELM_TPU_NATIVE_LOADER")
     else None,
+    Path(__file__).resolve().parents[2] / "native" / "libhelm_loader.so",
 ]
 
 
@@ -34,7 +34,10 @@ def _load():
     _LIB_TRIED = True
     for p in _SO_PATHS:
         if p and p.exists():
-            lib = ctypes.CDLL(str(p))
+            try:
+                lib = ctypes.CDLL(str(p))
+            except OSError:  # wrong arch / corrupt build: keep the fallback
+                continue
             lib.helm_read_input_csv.restype = ctypes.c_void_p
             lib.helm_read_input_csv.argtypes = [ctypes.c_char_p, ctypes.c_int]
             lib.helm_loader_free.argtypes = [ctypes.c_void_p]
@@ -87,9 +90,22 @@ def encrypt_batch(
     nthreads: int = 0,
 ) -> np.ndarray:
     """Batch LWE encryption of torus messages mu (uint32 [...]) under key
-    (uint32 [n]): returns uint32 [..., n+1]. All cores by default."""
+    (uint32 [n]): returns uint32 [..., n+1]. All cores by default; numpy
+    fallback (same contract, different randomness) when the library is
+    not built."""
     lib = _load()
     n = int(key.shape[0])
+    if lib is None:
+        rng = np.random.default_rng(seed)
+        mu32 = np.asarray(mu, dtype=np.uint32)
+        a = rng.integers(0, 1 << 32, size=mu32.shape + (n,), dtype=np.uint32)
+        dot = (a.astype(np.uint64) * key.astype(np.uint64)).sum(axis=-1)
+        e = np.rint(rng.normal(0.0, noise_std, size=mu32.shape)).astype(
+            np.int64
+        ) if noise_std > 0 else np.zeros(mu32.shape, np.int64)
+        with np.errstate(over="ignore"):
+            b = (dot.astype(np.uint32) + mu32 + (e % (1 << 32)).astype(np.uint32))
+        return np.concatenate([a, b[..., None].astype(np.uint32)], axis=-1)
     shape = mu.shape
     mu_flat = np.ascontiguousarray(mu.reshape(-1), dtype=np.uint32)
     key = np.ascontiguousarray(key, dtype=np.uint32)

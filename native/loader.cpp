@@ -170,6 +170,7 @@ char* helm_read_input_csv(const char* path, int is_bool) {
       std::string bits;
       bits.reserve(hex.size() * 4);
       for (char hc : hex) {
+        if (!isxdigit((unsigned char)hc)) return nullptr;  // ValueError parity
         int v = isdigit((unsigned char)hc)
                     ? hc - '0'
                     : 10 + (tolower((unsigned char)hc) - 'a');
