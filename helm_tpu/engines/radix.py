@@ -264,31 +264,49 @@ class RadixOps:
 
     # -- mul -----------------------------------------------------------
     def mul_g(self, x, y):
-        """Schoolbook + carry-save compression; all rounds fully batched."""
+        """Schoolbook + carry-save compression; all rounds fully batched.
+
+        Request preambles are built with ONE gather + arithmetic op per
+        round (index arrays over a term pool) rather than per-(i,j) slice
+        ops — on the remote-dispatch TPU platform every eager jnp op is a
+        round trip, so op count per round matters as much as PBS count."""
         B, nb = x.shape[0], x.shape[1]
+        n1 = self.params.n + 1
         pairs = [(i, j) for i in range(nb) for j in range(nb) if i + j < nb]
-        lo_pre = jnp.concatenate([4 * x[:, i] + y[:, j] for i, j in pairs])
         hi_pairs = [(i, j) for (i, j) in pairs if i + j + 1 < nb]
+
+        def pair_pre(ps):  # [len(ps)*B, n+1], pair-major
+            I = jnp.asarray([i for i, _ in ps], dtype=jnp.int32)
+            J = jnp.asarray([j for _, j in ps], dtype=jnp.int32)
+            z = 4 * x[:, I] + y[:, J]  # [B, P, n+1]
+            return jnp.swapaxes(z, 0, 1).reshape(len(ps) * B, n1)
+
         if hi_pairs:
-            hi_pre = jnp.concatenate(
-                [4 * x[:, i] + y[:, j] for i, j in hi_pairs]
-            )
             lo, hi = yield [
-                (lo_pre, self.tp.mul_lo),
-                (hi_pre, self.tp.mul_hi),
+                (pair_pre(pairs), self.tp.mul_lo),
+                (pair_pre(hi_pairs), self.tp.mul_hi),
             ]
         else:
-            (lo,) = yield [(lo_pre, self.tp.mul_lo)]
+            (lo,) = yield [(pair_pre(pairs), self.tp.mul_lo)]
             hi = lo[:0]
-        cols: list[list] = [[] for _ in range(nb)]
+        # term pool [T, B, n+1]; row T is a zero pad for short chunks
+        pool = jnp.concatenate(
+            [
+                lo.reshape(len(pairs), B, n1),
+                hi.reshape(len(hi_pairs), B, n1),
+                jnp.zeros((1, B, n1), jnp.uint32),
+            ]
+        )
+        zpad = len(pairs) + len(hi_pairs)
+        cols: list[list[int]] = [[] for _ in range(nb)]  # pool indices
         for idx, (i, j) in enumerate(pairs):
-            cols[i + j].append(lo[idx * B : (idx + 1) * B])
+            cols[i + j].append(idx)
         for idx, (i, j) in enumerate(hi_pairs):
-            cols[i + j + 1].append(hi[idx * B : (idx + 1) * B])
+            cols[i + j + 1].append(len(pairs) + idx)
         # compression tree: chunks of <=5 clean blocks sum to <=15
         while max(len(c) for c in cols) > 1:
-            chunk_pre, chunk_col = [], []
-            new_cols: list[list] = [[] for _ in range(nb)]
+            chunk_idx, chunk_col = [], []
+            new_cols: list[list[int]] = [[] for _ in range(nb)]
             for c, terms in enumerate(cols):
                 k = 0
                 while k < len(terms):
@@ -297,25 +315,35 @@ class RadixOps:
                     if len(chunk) == 1:
                         new_cols[c].append(chunk[0])
                     else:
-                        s = chunk[0]
-                        for t in chunk[1:]:
-                            s = s + t
-                        chunk_pre.append(s)
+                        chunk_idx.append(chunk + [zpad] * (5 - len(chunk)))
                         chunk_col.append(c)
-            if chunk_pre:
-                pre = jnp.concatenate(chunk_pre)
+            if chunk_idx:
+                C = len(chunk_idx)
+                sel = jnp.asarray(chunk_idx, dtype=jnp.int32)  # [C, 5]
+                pre = pool[sel].sum(axis=1).reshape(C * B, n1)
                 msgs, carries = yield [
                     (pre, self.tp.msg),
                     (pre, self.tp.carry),
                 ]
+                base = pool.shape[0] - 1  # overwrite the zero pad position
+                pool = jnp.concatenate(
+                    [
+                        pool[:-1],
+                        msgs.reshape(C, B, n1),
+                        carries.reshape(C, B, n1),
+                        jnp.zeros((1, B, n1), jnp.uint32),
+                    ]
+                )
+                zpad = base + 2 * C
                 for ci, c in enumerate(chunk_col):
-                    new_cols[c].append(msgs[ci * B : (ci + 1) * B])
+                    new_cols[c].append(base + ci)
                     if c + 1 < nb:
-                        new_cols[c + 1].append(carries[ci * B : (ci + 1) * B])
+                        new_cols[c + 1].append(base + C + ci)
             cols = new_cols
-        zero = jnp.zeros((B, self.params.n + 1), jnp.uint32)
-        blocks = [c[0] if c else zero for c in cols]
-        return jnp.stack(blocks, axis=1)
+        sel = jnp.asarray(
+            [c[0] if c else zpad for c in cols], dtype=jnp.int32
+        )
+        return jnp.swapaxes(pool[sel], 0, 1)  # [B, nb, n+1]
 
     def mul_plain_g(self, x, c: int):
         """x * plaintext c via binary expansion: one plain shift per set
@@ -386,13 +414,11 @@ class RadixOps:
             # ge = (r >= y), the carry-out of r - y
             _, ge = yield from self.sub_g(r, y_ext, with_carry=True)
             # r <- r - ge*y: gy blocks via bivariate (4*ge + y_i)
-            gy_pre = jnp.concatenate(
-                [4 * ge + y_ext[:, i] for i in range(nbe)]
+            gy_pre = jnp.swapaxes(4 * ge[:, None] + y_ext, 0, 1).reshape(
+                B * nbe, p.n + 1
             )
             (gy,) = yield [(gy_pre, self.tp.mul_lo)]
-            gy = jnp.stack(
-                [gy[i * B : (i + 1) * B] for i in range(nbe)], axis=1
-            )
+            gy = jnp.swapaxes(gy.reshape(nbe, B, p.n + 1), 0, 1)
             r = yield from self.sub_g(r, gy)
             qbits[k] = ge
         blocks = []
@@ -503,15 +529,14 @@ class RadixOps:
         """per-block sel ? a : b via two bivariate products + add."""
         p = self.params
         B, nb = a.shape[0], a.shape[1]
+        n1 = p.n + 1
         not_sel = jnp.uint32(0) - sel
         not_sel = not_sel.at[:, p.n].add(jnp.uint32(p.delta))
-        pre1 = jnp.concatenate([4 * sel + a[:, i] for i in range(nb)])
-        pre2 = jnp.concatenate([4 * not_sel + b[:, i] for i in range(nb)])
+        pre1 = jnp.swapaxes(4 * sel[:, None] + a, 0, 1).reshape(B * nb, n1)
+        pre2 = jnp.swapaxes(4 * not_sel[:, None] + b, 0, 1).reshape(B * nb, n1)
         t1, t2 = yield [(pre1, self.tp.mul_lo), (pre2, self.tp.mul_lo)]
-        blocks = [
-            t1[i * B : (i + 1) * B] + t2[i * B : (i + 1) * B] for i in range(nb)
-        ]
-        return (yield from _propagate_g(self.tp, jnp.stack(blocks, axis=1)))
+        z = jnp.swapaxes((t1 + t2).reshape(nb, B, n1), 0, 1)
+        return (yield from _propagate_g(self.tp, z))
 
     # -- synchronous single-op drivers ----------------------------------
     def add(self, x, y, with_carry: bool = False):
