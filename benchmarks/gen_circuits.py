@@ -715,6 +715,76 @@ endmodule
 """
 
 
+def euclidean_arith(n: int) -> str:
+    """Squared Euclidean distance at size n (euclidean family,
+    RUNNING.md runs n=32/64): dist = sum_i (a_i - b_i)^2."""
+    ios = ", ".join(f"a{i}" for i in range(n)) + ", " + ", ".join(
+        f"b{i}" for i in range(n)
+    )
+    L = [
+        f"// squared Euclidean distance, n={n} (euclidean family of RUNNING.md)",
+        f"module euclidean{n}({ios}, dist);",
+    ]
+    for pre in ("a", "b"):
+        L.append(
+            f"  input [31:0] " + ", ".join(f"{pre}{i}" for i in range(n)) + ";"
+        )
+    L.append("  output [31:0] dist;")
+    for i in range(n):
+        L.append(f"  sub u{i}(a{i}, b{i}, d{i});")
+        L.append(f"  mult m{i}(d{i}, d{i}, q{i});")
+    # log-depth add tree
+    terms = [f"q{i}" for i in range(n)]
+    t = 0
+    while len(terms) > 1:
+        nxt = []
+        for k in range(0, len(terms) - 1, 2):
+            out = "dist" if len(terms) == 2 else f"s{t}"
+            L.append(f"  add ad{t}({terms[k]}, {terms[k+1]}, {out});")
+            nxt.append(out)
+            t += 1
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    L.append("endmodule")
+    return "\n".join(L) + "\n"
+
+
+def mmult_arith(k: int) -> str:
+    """k x k encrypted matrix multiply (mmult family, RUNNING.md runs
+    5x5..15x15): c[i][j] = sum_l a[i][l]*b[l][j]."""
+    a_ios = ", ".join(f"a{i}{l}" for i in range(k) for l in range(k))
+    b_ios = ", ".join(f"b{l}{j}" for l in range(k) for j in range(k))
+    c_ios = ", ".join(f"c{i}{j}" for i in range(k) for j in range(k))
+    L = [
+        f"// {k}x{k} matrix multiply (mmult family of RUNNING.md)",
+        f"module mmult{k}({a_ios}, {b_ios}, {c_ios});",
+        f"  input [31:0] {a_ios};",
+        f"  input [31:0] {b_ios};",
+        f"  output [31:0] {c_ios};",
+    ]
+    g = 0
+    for i in range(k):
+        for j in range(k):
+            prods = []
+            for l in range(k):
+                L.append(f"  mult m{g}(a{i}{l}, b{l}{j}, p{g});")
+                prods.append(f"p{g}")
+                g += 1
+            while len(prods) > 1:
+                nxt = []
+                for z in range(0, len(prods) - 1, 2):
+                    out = f"c{i}{j}" if len(prods) == 2 else f"t{g}"
+                    L.append(f"  add ad{g}({prods[z]}, {prods[z+1]}, {out});")
+                    nxt.append(out)
+                    g += 1
+                if len(prods) % 2:
+                    nxt.append(prods[-1])
+                prods = nxt
+    L.append("endmodule")
+    return "\n".join(L) + "\n"
+
+
 def main(outdir: str = "benchmarks/netlists"):
     out = Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
@@ -732,6 +802,8 @@ def main(outdir: str = "benchmarks/netlists"):
     (out / "crc32.v").write_text(crc32_circuit())
     (out / "aes128.v").write_text(aes128_circuit(10))
     (out / "aes128-gates.v").write_text(aes128_gates_circuit(10))
+    (out / "euclidean32_arith.v").write_text(euclidean_arith(32))
+    (out / "mmult5_arith.v").write_text(mmult_arith(5))
     print(f"wrote netlists to {out}")
 
 

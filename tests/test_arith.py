@@ -321,3 +321,47 @@ def test_gaussian_blur_u8():
             k[r][cc] * pix[f"p{r}{cc + c0}"] for r in range(3) for cc in range(3)
         )
         assert exp[name] == (acc // 16) % 256, name
+
+
+def test_euclidean32_oracle_and_encrypted():
+    """euclidean n=32 (the RUNNING.md size): oracle check at u32, plus an
+    encrypted u8 run with the dataflow scheduler."""
+    import random
+
+    rnd = random.Random(4)
+    nl = read_verilog_file("benchmarks/netlists/euclidean32_arith.v", True)
+    c = Circuit.from_netlist(nl)
+    a = [rnd.randrange(1000) for _ in range(32)]
+    b = [rnd.randrange(1000) for _ in range(32)]
+    ins = {f"a{i}": a[i] for i in range(32)}
+    ins |= {f"b{i}": b[i] for i in range(32)}
+    wm = c.evaluate_arith(c.initialize_wire_map(nl.wire_set, ins, default=0), 32)
+    assert wm["dist"] == sum((x - y) ** 2 for x, y in zip(a, b)) % 2**32
+    e = ArithEngine("u8", params=P.TEST_PARAMS_ARITH, seed=12)
+    e.compile(nl)
+    ins8 = {k: v % 16 for k, v in ins.items()}
+    out = e.decrypt_outputs(e.evaluate(e.encrypt_inputs(ins8)))
+    exp = c.evaluate_arith(
+        c.initialize_wire_map(nl.wire_set, ins8, default=0), 8
+    )
+    assert out["dist"] == exp["dist"]
+
+
+def test_mmult5_oracle():
+    """5x5 encrypted matrix-multiply netlist (mmult family, RUNNING.md
+    sizes) against the arithmetic oracle."""
+    import random
+
+    rnd = random.Random(9)
+    nl = read_verilog_file("benchmarks/netlists/mmult5_arith.v", True)
+    c = Circuit.from_netlist(nl)
+    A = [[rnd.randrange(100) for _ in range(5)] for _ in range(5)]
+    B = [[rnd.randrange(100) for _ in range(5)] for _ in range(5)]
+    ins = {f"a{i}{l}": A[i][l] for i in range(5) for l in range(5)}
+    ins |= {f"b{l}{j}": B[l][j] for l in range(5) for j in range(5)}
+    wm = c.evaluate_arith(c.initialize_wire_map(nl.wire_set, ins, default=0), 32)
+    for i in range(5):
+        for j in range(5):
+            assert wm[f"c{i}{j}"] == sum(
+                A[i][l] * B[l][j] for l in range(5)
+            ) % 2**32, (i, j)
