@@ -399,19 +399,42 @@ def _gf16_inv(a: int) -> int:
     raise AssertionError
 
 
+# full tower GF(((2^2)^2)^2): GF(4) = GF(2)[w]/(w^2+w+1) with elements
+# 2-bit ints (bit0 + bit1*w); GF(16) = GF(4)[W]/(W^2+W+PHI); GF(256) =
+# GF(16)[Y]/(Y^2+Y+LAM). In this basis the GF(16) inverse is 3 GF(4)
+# multiplies (GF(4) inverse == squaring, 1 XOR) — the Satoh/Canright trick.
+
+
+def _g4_mul(a: int, b: int) -> int:
+    a0, a1 = a & 1, a >> 1
+    b0, b1 = b & 1, b >> 1
+    m1 = a1 & b1
+    return ((m1 ^ (a1 & b0) ^ (a0 & b1)) << 1) | ((a0 & b0) ^ m1)
+
+
+PHI = 2  # w, irreducible W^2+W+w over GF(4)
+
+
+def _g16_mul(x: int, y: int) -> int:
+    d1, c1 = x & 3, x >> 2
+    d2, c2 = y & 3, y >> 2
+    m0, m1 = _g4_mul(d1, d2), _g4_mul(c1, c2)
+    m2 = _g4_mul(c1 ^ d1, c2 ^ d2)
+    return ((m2 ^ m0) << 2) | (m0 ^ _g4_mul(PHI, m1))
+
+
 def _composite_field_maps():
-    """Isomorphism GF(2^8) (x^8+x^4+x^3+x+1) -> GF(2^4)[Y]/(Y^2+Y+lam),
-    elements encoded as bits [b0..b3, a0..a3] for aY + b. Returns
-    (delta, delta_inv) as 8x8 GF(2) matrices (lists of row bitmasks is
-    inconvenient — use list of 8 column vectors) and lam."""
+    """Isomorphism GF(2^8) (x^8+x^4+x^3+x+1) -> the GF(((2^2)^2)^2) tower,
+    elements encoded as bits [b0..b3, a0..a3] for aY + b (each nibble
+    [d0,d1,c0,c1] for cW + d). Returns (delta_cols, delta_inv_cols, LAM)."""
 
     def comp_mul(u: int, v: int, lam: int) -> int:
         au, bu = (u >> 4) & 0xF, u & 0xF
         av, bv = (v >> 4) & 0xF, v & 0xF
         # (au Y + bu)(av Y + bv), Y^2 = Y + lam
-        t = _gf16_mul(au, av)
-        a = t ^ _gf16_mul(au, bv) ^ _gf16_mul(bu, av)
-        b = _gf16_mul(t, lam) ^ _gf16_mul(bu, bv)
+        t = _g16_mul(au, av)
+        a = t ^ _g16_mul(au, bv) ^ _g16_mul(bu, av)
+        b = _g16_mul(t, lam) ^ _g16_mul(bu, bv)
         return (a << 4) | b
 
     def gf256_mul(a: int, b: int) -> int:
@@ -426,7 +449,7 @@ def _composite_field_maps():
         return r
 
     # lam with Y^2+Y+lam irreducible over GF(16): no y solves y^2+y = lam
-    traces = {_gf16_mul(y, y) ^ y for y in range(16)}
+    traces = {_g16_mul(y, y) ^ y for y in range(16)}
     lam = next(l for l in range(1, 16) if l not in traces)
     # root of the AES modulus in the composite field -> delta(0x02)
     for r in range(2, 256):
@@ -548,26 +571,54 @@ class _GateEmitter:
             outs.append(self.xor_many([bits[i] for i in range(len(bits)) if (cols[i] >> r) & 1] or [0]))
         return outs
 
-    def gf16_mul_bits(self, x, y):
-        """GF(2^4) product of two 4-bit vectors of wires."""
-        # t[i][j] = x_i & y_j; output bit r = XOR of t[i][j] with
-        # coefficient from w^(i+j) reduced mod w^4+w+1
-        red = []  # w^k as 4-bit mask, k = 0..6
-        v = 1
-        for _ in range(7):
-            red.append(v)
-            v <<= 1
-            if v & 0x10:
-                v ^= 0x13
-        terms = [[] for _ in range(4)]
-        for i in range(4):
-            for j in range(4):
-                t = self.band(x[i], y[j])
-                m = red[i + j]
-                for r in range(4):
-                    if (m >> r) & 1:
-                        terms[r].append(t)
-        return [self.xor_many(ts or [0]) for ts in terms]
+    # --- GF(4) over bit pairs [lo, hi] (tower basis) -------------------
+    def g4mul(self, x, y):
+        m0 = self.band(x[0], y[0])
+        m1 = self.band(x[1], y[1])
+        m2 = self.band(self.bxor(x[0], x[1]), self.bxor(y[0], y[1]))
+        return [self.bxor(m0, m1), self.bxor(m2, m0)]
+
+    def g4sq(self, x):  # x^2 == x^-1 in GF(4)
+        return [self.bxor(x[0], x[1]), x[1]]
+
+    def g4scale_w(self, x):  # multiply by w
+        return [x[1], self.bxor(x[0], x[1])]
+
+    # --- GF(16) over 4-bit lists [d0, d1, c0, c1] = c*W + d ------------
+    def g16mul(self, x, y):
+        d1, c1 = x[:2], x[2:]
+        d2, c2 = y[:2], y[2:]
+        m0 = self.g4mul(d1, d2)
+        m1 = self.g4mul(c1, c2)
+        m2 = self.g4mul(
+            [self.bxor(a, b) for a, b in zip(c1, d1)],
+            [self.bxor(a, b) for a, b in zip(c2, d2)],
+        )
+        c_out = [self.bxor(a, b) for a, b in zip(m2, m0)]
+        phi_m1 = self.g4scale_w(m1)
+        d_out = [self.bxor(a, b) for a, b in zip(m0, phi_m1)]
+        return d_out + c_out
+
+    def g16sq(self, x):  # (cW+d)^2 = c^2 W + (d^2 + PHI c^2): linear
+        c2 = self.g4sq(x[2:])
+        d2 = self.g4sq(x[:2])
+        pc2 = self.g4scale_w(c2)
+        return [self.bxor(a, b) for a, b in zip(d2, pc2)] + c2
+
+    def g16inv(self, x):
+        """(cW+d)^-1 = (c*D)W + ((c+d)*D), D = (c^2 PHI + cd + d^2)^-1;
+        the GF(4) inverse is a squaring — 3 GF(4) multiplies total."""
+        d, c = x[:2], x[2:]
+        cd = self.g4mul(c, d)
+        pc2 = self.g4scale_w(self.g4sq(c))
+        d2 = self.g4sq(d)
+        delta = [
+            self.bxor(self.bxor(a, b), e) for a, b, e in zip(pc2, cd, d2)
+        ]
+        dinv = self.g4sq(delta)
+        out_c = self.g4mul(c, dinv)
+        out_d = self.g4mul([self.bxor(a, b) for a, b in zip(c, d)], dinv)
+        return out_d + out_c
 
 
 def aes_sbox_gates(em: _GateEmitter, bits, maps=[]):
@@ -576,27 +627,20 @@ def aes_sbox_gates(em: _GateEmitter, bits, maps=[]):
     if not maps:
         maps.append(_composite_field_maps())
     cols, inv_cols, lam = maps[0]
-    # GF(2^4) linear helpers as column masks: x^2 is linear, col i = (w^i)^2
-    sq_cols = [_gf16_mul(1 << i, 1 << i) for i in range(4)]
-    sqlam_cols = [_gf16_mul(_gf16_mul(1 << i, 1 << i), lam) for i in range(4)]
-    # x^2 is linear: column i = (w^i)^2
-    d = em.linear(cols, bits)  # composite representation [b(4) | a(4)]
+    # GF(16) multiply-by-LAM is linear: column i = LAM * e_i (tower basis)
+    lam_cols = [_g16_mul(lam, 1 << i) for i in range(4)]
+    d = em.linear(cols, bits)  # tower representation [b(4) | a(4)]
     b, a = d[:4], d[4:]
     apb = [em.bxor(ai, bi) for ai, bi in zip(a, b)]
-    # Delta = a^2 * lam + a*b + b^2  (a*b = a*(a+b) + a^2 — reuse either way)
-    ab = em.gf16_mul_bits(a, b)
-    a2l = em.linear(sqlam_cols, a, 4)
-    b2 = em.linear(sq_cols, b, 4)
+    # Delta = a^2 * lam + a*b + b^2 in GF(16), then one tower inverse
+    ab = em.g16mul(a, b)
+    a2l = em.linear(lam_cols, em.g16sq(a), 4)
+    b2 = em.g16sq(b)
     delta = [em.xor_many([ab[i], a2l[i], b2[i]]) for i in range(4)]
-    # Delta^-1 = Delta^14 = (d^2 * d^4) * d^8 ; squarings linear
-    d2 = em.linear(sq_cols, delta, 4)
-    d4 = em.linear(sq_cols, d2, 4)
-    d8 = em.linear(sq_cols, d4, 4)
-    d6 = em.gf16_mul_bits(d2, d4)
-    dinv = em.gf16_mul_bits(d6, d8)
+    dinv = em.g16inv(delta)
     # inverse = (a * Dinv) Y + (a+b) * Dinv
-    ia = em.gf16_mul_bits(a, dinv)
-    ib = em.gf16_mul_bits(apb, dinv)
+    ia = em.g16mul(a, dinv)
+    ib = em.g16mul(apb, dinv)
     comp = ib + ia
     # back to GF(2^8), then the AES affine transform + 0x63
     y = em.linear(inv_cols, comp)

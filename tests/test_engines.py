@@ -411,7 +411,7 @@ def test_aes_sbox_gates_all_256():
 
 
 def test_aes128_gates_netlist_oracle():
-    """Gates-mode AES-128 (composite-field S-boxes, 57.7k gates) matches
+    """Gates-mode AES-128 (composite-field S-boxes, 46.7k gates) matches
     FIPS-197 C.1 under the plaintext oracle."""
     nl = read_verilog_file("benchmarks/netlists/aes128-gates.v")
     c = Circuit.from_netlist(nl)
@@ -443,7 +443,7 @@ def test_aes128_gates_one_round_encrypted(gates_engine):
 
 
 def test_aes128_one_round_encrypted():
-    """Reduced-round AES (ARK + SubBytes/ShiftRows/ARK, 545 cells incl.
+    """Reduced-round AES (ARK + SubBytes/ShiftRows/ARK incl.
     8-input S-box LUTs) decrypts to the reduced-round oracle bit-exactly."""
     import sys
 
