@@ -759,6 +759,51 @@ endmodule
 """
 
 
+def random_arith(name: str, n_inputs: int, n_gates: int, seed: int) -> str:
+    """Random arithmetic DAG (fuzz target for the dataflow scheduler):
+    add/sub/mult (ct and plain-const), plain shifts (incl. >= width),
+    copy, and the occasional div."""
+    rnd = random.Random(seed)
+    ios = ", ".join(f"x{i}" for i in range(n_inputs))
+    L = [
+        f"module {name}({ios}, " +
+        ", ".join(f"y{i}" for i in range(4)) + ");",
+        f"  input [31:0] {ios};",
+        "  output [31:0] " + ", ".join(f"y{i}" for i in range(4)) + ";",
+    ]
+    wires = [f"x{i}" for i in range(n_inputs)]
+    for g in range(n_gates):
+        out = f"y{g - n_gates + 4}" if g >= n_gates - 4 else f"t{g}"
+        a = rnd.choice(wires)
+        b = rnd.choice(wires)
+        r = rnd.random()
+        if r < 0.25:
+            L.append(f"  add g{g}({a}, {b}, {out});")
+        elif r < 0.45:
+            L.append(f"  sub g{g}({a}, {b}, {out});")
+        elif r < 0.60:
+            L.append(f"  mult g{g}({a}, {b}, {out});")
+        elif r < 0.70:
+            c = rnd.randrange(256)
+            pos = rnd.random() < 0.5
+            L.append(
+                f"  mult g{g}({c}, {a}, {out});"
+                if pos
+                else f"  mult g{g}({a}, {c}, {out});"
+            )
+        elif r < 0.85:
+            kind = "shl" if rnd.random() < 0.5 else "shr"
+            amt = rnd.randrange(11)  # incl. >= width at u8
+            L.append(f"  {kind} g{g}({a}, {amt}, {out});")
+        elif r < 0.92:
+            L.append(f"  copy g{g}({a}, {out});")
+        else:
+            L.append(f"  div g{g}({a}, {b}, {out});")
+        wires.append(out)
+    L.append("endmodule")
+    return "\n".join(L) + "\n"
+
+
 def euclidean_arith(n: int) -> str:
     """Squared Euclidean distance at size n (euclidean family,
     RUNNING.md runs n=32/64): dist = sum_i (a_i - b_i)^2."""
