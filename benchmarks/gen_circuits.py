@@ -884,6 +884,8 @@ def main(outdir: str = "benchmarks/netlists"):
     (out / "8-bit-adder-lut-3-1.v").write_text(lut_adder(8, 3))
     (out / "8-bit-adder-lut-2-1.v").write_text(lut_adder(8, 2))
     (out / "16-bit-mult.v").write_text(gate_multiplier(16))
+    (out / "32-bit-mult.v").write_text(gate_multiplier(32))
+    (out / "64-bit-mult.v").write_text(gate_multiplier(64))
     (out / "8-bit-mult.v").write_text(gate_multiplier(8))
     (out / "c880-like.v").write_text(random_levelized("c880like", 60, 383, 26, seed=880))
     (out / "c7552-like.v").write_text(random_levelized("c7552like", 207, 3512, 108, seed=7552))

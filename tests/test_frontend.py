@@ -217,3 +217,19 @@ def test_crc32_sequential_oracle():
         state_sw = crc_step(state_sw, bit)
         got = sum(int(wm[f"s{i}"]) << i for i in range(32))
         assert got == state_sw
+
+
+def test_32bit_multiplier_oracle():
+    """32-bit gate multiplier (mult family, RUNNING.md runs 16..128-bit)."""
+    import random
+
+    from helm_tpu.circuit.graph import Circuit
+
+    nl = read_verilog_file("benchmarks/netlists/32-bit-mult.v")
+    c = Circuit.from_netlist(nl)
+    rnd = random.Random(5)
+    a, b = rnd.getrandbits(32), rnd.getrandbits(32)
+    ins = {f"a[{i}]": bool(a >> i & 1) for i in range(32)}
+    ins |= {f"b[{i}]": bool(b >> i & 1) for i in range(32)}
+    wm = c.evaluate(c.initialize_wire_map(nl.wire_set, ins, default=False))
+    assert sum(int(wm[f"prod[{i}]"]) << i for i in range(32)) == (a * b) % 2**32
