@@ -564,11 +564,41 @@ class _GateEmitter:
 
     def linear(self, cols: list[int], bits, n_out: int = None):
         """y = M x over GF(2), M given as column bitmasks (col i = image
-        of input bit i)."""
+        of input bit i). Emitted as a shared XOR network via Paar's
+        greedy: repeatedly materialize the input pair that co-occurs in
+        the most outputs — typically ~25% fewer XORs than per-row chains."""
         n_out = n_out or 8
+        # rows as bitmasks over the current pool of terms (inputs first)
+        pool = list(bits)
+        rows = [
+            sum(((cols[i] >> r) & 1) << i for i in range(len(bits)))
+            for r in range(n_out)
+        ]
+        while True:
+            best, besti, bestj = 1, -1, -1
+            np_ = len(pool)
+            counts: dict[tuple[int, int], int] = {}
+            for m in rows:
+                idxs = [i for i in range(np_) if (m >> i) & 1]
+                for a in range(len(idxs)):
+                    for b in range(a + 1, len(idxs)):
+                        k = (idxs[a], idxs[b])
+                        counts[k] = counts.get(k, 0) + 1
+            for (i, j), c in counts.items():
+                if c > best:
+                    best, besti, bestj = c, i, j
+            if besti < 0:
+                break
+            new = self.bxor(pool[besti], pool[bestj])
+            pool.append(new)
+            pair = (1 << besti) | (1 << bestj)
+            for r in range(n_out):
+                if rows[r] & pair == pair:
+                    rows[r] = (rows[r] & ~pair) | (1 << (len(pool) - 1))
         outs = []
-        for r in range(n_out):
-            outs.append(self.xor_many([bits[i] for i in range(len(bits)) if (cols[i] >> r) & 1] or [0]))
+        for m in rows:
+            terms = [pool[i] for i in range(len(pool)) if (m >> i) & 1]
+            outs.append(self.xor_many(terms or [0]))
         return outs
 
     # --- GF(4) over bit pairs [lo, hi] (tower basis) -------------------
@@ -655,6 +685,30 @@ def aes_sbox_gates(em: _GateEmitter, bits, maps=[]):
     return [em.bxor(s[k], (0x63 >> k) & 1) for k in range(8)]
 
 
+def _mixcolumns_cols() -> list[int]:
+    """MixColumns as a 32x32 GF(2) matrix (column masks, input bit order
+    r_in*8+k): output byte r_out = sum_r M[r_out][r]*a_r, M over GF(2^8)."""
+    M = [[2, 3, 1, 1], [1, 2, 3, 1], [1, 1, 2, 3], [3, 1, 1, 2]]
+
+    def xt_mask(k):  # bit image of x^k under xtime
+        return ((1 << k) << 1) & 0xFF ^ (0x1B if k == 7 else 0)
+
+    cols = []
+    for r_in in range(4):
+        for k in range(8):
+            mask = 0
+            for r_out in range(4):
+                c = M[r_out][r_in]
+                m8 = 0
+                if c & 1:
+                    m8 ^= 1 << k
+                if c & 2:
+                    m8 ^= xt_mask(k)
+                mask |= m8 << (8 * r_out)
+            cols.append(mask)
+    return cols
+
+
 def aes128_gates_circuit(rounds: int = 10, name: str = "aes128g") -> str:
     """AES-128 encryption as a pure gates netlist (and/xor/not/buf):
     composite-field S-boxes, XOR linear layer, key schedule in-circuit.
@@ -668,18 +722,6 @@ def aes128_gates_circuit(rounds: int = 10, name: str = "aes128g") -> str:
         return [
             em.bxor(p, q, outs[i] if outs else None)
             for i, (p, q) in enumerate(zip(x, y))
-        ]
-
-    def xtime(bits):
-        return [
-            bits[7],
-            em.bxor(bits[0], bits[7]),
-            bits[1],
-            em.bxor(bits[2], bits[7]),
-            em.bxor(bits[3], bits[7]),
-            bits[4],
-            bits[5],
-            bits[6],
         ]
 
     pt = [[f"pt[{8 * j + i}]" for i in range(8)] for j in range(16)]
@@ -697,14 +739,13 @@ def aes128_gates_circuit(rounds: int = 10, name: str = "aes128g") -> str:
         s = [[sbox_byte(bb) for bb in row] for row in s]
         s = [[s[r][(c + r) % 4] for c in range(4)] for r in range(4)]
         if rnd_i != rounds:
+            mc = _mixcolumns_cols()
             ns = [[None] * 4 for _ in range(4)]
             for c in range(4):
-                a = [s[r][c] for r in range(4)]
-                x = [xtime(bb) for bb in a]
-                ns[0][c] = [em.xor_many([x[0][k], x[1][k], a[1][k], a[2][k], a[3][k]]) for k in range(8)]
-                ns[1][c] = [em.xor_many([a[0][k], x[1][k], x[2][k], a[2][k], a[3][k]]) for k in range(8)]
-                ns[2][c] = [em.xor_many([a[0][k], a[1][k], x[2][k], x[3][k], a[3][k]]) for k in range(8)]
-                ns[3][c] = [em.xor_many([x[0][k], a[0][k], a[1][k], a[2][k], x[3][k]]) for k in range(8)]
+                col_bits = [bit for r in range(4) for bit in s[r][c]]
+                y = em.linear(mc, col_bits, 32)
+                for r in range(4):
+                    ns[r][c] = y[8 * r : 8 * r + 8]
             s = ns
         rk = w[4 * rnd_i : 4 * rnd_i + 4]
         is_last = rnd_i == rounds

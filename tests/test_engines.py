@@ -411,7 +411,7 @@ def test_aes_sbox_gates_all_256():
 
 
 def test_aes128_gates_netlist_oracle():
-    """Gates-mode AES-128 (composite-field S-boxes, 46.7k gates) matches
+    """Gates-mode AES-128 (composite-field S-boxes, 41.4k gates) matches
     FIPS-197 C.1 under the plaintext oracle."""
     nl = read_verilog_file("benchmarks/netlists/aes128-gates.v")
     c = Circuit.from_netlist(nl)
