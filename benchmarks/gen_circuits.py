@@ -155,6 +155,40 @@ def random_levelized(name: str, n_inputs: int, n_gates: int, n_outputs: int, see
     return "\n".join(L) + "\n"
 
 
+def random_sequential(
+    name: str, n_inputs: int, n_dffs: int, n_gates: int, seed: int
+) -> str:
+    """ISCAS'89-class random sequential circuit (s386/s1488-scale
+    stand-ins: the real netlists live in the non-vendored submodule).
+    DFF outputs are pseudo-inputs of the combinational cloud; DFF inputs
+    and primary outputs tap the cloud."""
+    rnd = random.Random(seed)
+    kinds = ["and", "or", "nand", "nor", "xor", "xnor"]
+    n_outputs = max(2, n_dffs // 3)
+    L = [
+        f"module {name}(i, o);",
+        f"  input [{n_inputs-1}:0] i;",
+        f"  output [{n_outputs-1}:0] o;",
+    ]
+    wires = [f"i[{j}]" for j in range(n_inputs)] + [
+        f"st{d}" for d in range(n_dffs)
+    ]
+    for gi in range(n_gates):
+        kind = rnd.choice(kinds)
+        lo = max(0, len(wires) - 3 * (n_inputs + n_dffs))
+        w1 = wires[rnd.randrange(lo, len(wires))]
+        w2 = wires[rnd.randrange(len(wires))]
+        L.append(f"  {kind} g{gi}({w1}, {w2}, w{gi});")
+        wires.append(f"w{gi}")
+    for d in range(n_dffs):
+        src = wires[rnd.randrange(n_inputs + n_dffs, len(wires))]
+        L.append(f"  dff d{d}({src}, st{d});")
+    for j in range(n_outputs):
+        L.append(f"  buf ob{j}({wires[-1-j]}, o[{j}]);")
+    L.append("endmodule")
+    return "\n".join(L) + "\n"
+
+
 def crc32_circuit() -> str:
     """CRC-32 (IEEE 802.3 polynomial) bit-serial core: 32 DFFs, one input
     bit per cycle (the `CRC-32` family of RUNNING.md:3-259)."""
@@ -930,6 +964,8 @@ def main(outdir: str = "benchmarks/netlists"):
     (out / "8-bit-mult.v").write_text(gate_multiplier(8))
     (out / "c880-like.v").write_text(random_levelized("c880like", 60, 383, 26, seed=880))
     (out / "c7552-like.v").write_text(random_levelized("c7552like", 207, 3512, 108, seed=7552))
+    (out / "s386-like.v").write_text(random_sequential("s386like", 7, 6, 159, seed=386))
+    (out / "s1488-like.v").write_text(random_sequential("s1488like", 8, 6, 653, seed=1488))
     (out / "chi_squared_arith.v").write_text(CHI_SQUARED)
     (out / "crc32.v").write_text(crc32_circuit())
     (out / "aes128.v").write_text(aes128_circuit(10))

@@ -624,3 +624,22 @@ def test_batched_sequential_ready():
         for _ in range(cycles):
             ws = es.evaluate(ws)
         assert outs[i] == es.decrypt_outputs(ws), i
+
+
+def test_encrypted_s386_like_sequential(gates_engine):
+    """ISCAS'89-scale sequential stand-in: 3 cycles encrypted vs oracle
+    on every wire (s27's pattern at s386 size)."""
+    nl = read_verilog_file("benchmarks/netlists/s386-like.v")
+    c = Circuit.from_netlist(read_verilog_file("benchmarks/netlists/s386-like.v"))
+    rng = np.random.default_rng(386)
+    inputs = {f"i[{j}]": bool(rng.integers(0, 2)) for j in range(7)}
+    e = gates_engine
+    e.compile(nl)
+    wires = e.encrypt_inputs(inputs)
+    state = c.initialize_wire_map(nl.wire_set, inputs)
+    for cycle in range(3):
+        wires = e.evaluate(wires)
+        state = c.evaluate(state)
+        got = e.decrypt_all_wires(wires)
+        for w, v in state.items():
+            assert got[w] == v, (cycle, w)
