@@ -643,3 +643,16 @@ def test_encrypted_s386_like_sequential(gates_engine):
         got = e.decrypt_all_wires(wires)
         for w, v in state.items():
             assert got[w] == v, (cycle, w)
+
+
+@pytest.mark.slow
+def test_aes128_gates_full_encrypted():
+    """FULL 10-round gates-mode AES-128 encrypted end-to-end (41.4k
+    gates): decrypted ciphertext equals FIPS-197 C.1."""
+    nl = read_verilog_file("benchmarks/netlists/aes128-gates.v")
+    e = BooleanEngine(mode="gates", params=P.TEST_PARAMS, seed=128)
+    e.compile(nl)
+    out = e.decrypt_outputs(
+        e.evaluate(e.encrypt_inputs(_aes_bit_inputs(_FIPS_PT, _FIPS_KEY)))
+    )
+    assert _aes_ct_bytes(out).hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
