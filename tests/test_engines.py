@@ -656,3 +656,25 @@ def test_aes128_gates_full_encrypted():
         e.evaluate(e.encrypt_inputs(_aes_bit_inputs(_FIPS_PT, _FIPS_KEY)))
     )
     assert _aes_ct_bytes(out).hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+
+
+def test_batched_serving_sequential(gates_engine):
+    """Batched serving composes with the sequential cycle loop: two s27
+    vectors in one pass, 3 cycles, every wire matches its own oracle."""
+    nl = read_verilog_file("benchmarks/netlists/s27.v")
+    e = gates_engine
+    e.compile(nl)
+    vecs = [
+        {"G0": False, "G1": True, "G2": False, "G3": True},
+        {"G0": True, "G1": False, "G2": True, "G3": False},
+    ]
+    wires = e.encrypt_inputs(vecs)
+    c = Circuit.from_netlist(nl)
+    states = [c.initialize_wire_map(nl.wire_set, v) for v in vecs]
+    for cyc in range(3):
+        wires = e.evaluate(wires)
+        states = [c.evaluate(s) for s in states]
+        outs = e.decrypt_all_wires(wires)
+        for bi in range(2):
+            for w, v in states[bi].items():
+                assert outs[bi][w] == v, (cyc, bi, w)
