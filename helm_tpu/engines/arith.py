@@ -204,6 +204,14 @@ class ArithEngine:
         if len(computed) != len(gates):
             missing = {g.output for g in gates} - set(computed)
             raise RuntimeError(f"unresolved gates (cycle?): {sorted(missing)}")
+        if verbose:
+            from .radix import LAUNCHES, SLOTS
+
+            print(
+                f"  {len(gates)} gates in {rounds} merged PBS rounds "
+                f"(totals this process: {LAUNCHES[0]} launches, "
+                f"{SLOTS[0]} slots)"
+            )
         if not computed:
             return wires
         dst = jnp.asarray(
