@@ -418,6 +418,69 @@ LUT_TPU_MB2 = TfheParams(
     grouping=2,
 )
 
+#: 128-bit-class gates set (see fhe/security.py and SECURITY.md). The
+#: reference-mirroring sets above inherit the reference GPU engine's weak
+#: n=512/sigma=128 LWE key (~35-bit core-SVP; reference:
+#: src/bin/helm.rs:141-146 uses one sigma for both keys); this family
+#: instead anchors the LWE key on tfhe-rs 0.4's 128-bit boolean ratio
+#: (n=742, sigma/q = 7.07e-6 -> ~104-bit core-SVP = the same margin the
+#: lattice-estimator default scores ~128) and oversizes the GLWE ring
+#: (N=2048, sigma=4: ~197-bit core-SVP). Cost vs GATES_TPU_MB2: 1.45x
+#: steps and ~2x transform width. Failure 2^-74 at XOR growth.
+GATES_128_MB2 = TfheParams(
+    name="gates_128_mb2",
+    n=742,
+    k=1,
+    N=2048,
+    pbs_base_log=11,
+    pbs_level=2,
+    ks_base_log=2,
+    ks_level=8,
+    lwe_noise_std=30355.0,
+    glwe_noise_std=4.0,
+    msg_space_log=3,
+    message_bits=1,
+    grouping=2,
+)
+
+#: 128-bit-class LUT set (3-bit messages). Failure 2^-39 at packing
+#: growth 17.
+LUT_128_MB2 = TfheParams(
+    name="lut_128_mb2",
+    n=742,
+    k=1,
+    N=2048,
+    pbs_base_log=8,
+    pbs_level=3,
+    ks_base_log=2,
+    ks_level=8,
+    lwe_noise_std=30355.0,
+    glwe_noise_std=4.0,
+    msg_space_log=4,
+    message_bits=3,
+    grouping=2,
+)
+
+#: 128-bit-class arith set. msg_space 5 leaves only a 2^26 margin at
+#: q=2^32, so the LWE key moves to n=832/sigma=2^13 (106-bit core-SVP)
+#: to keep the keyswitch quiet, with KS (3,6). Failure 2^-35 at growth 17;
+#: the modswitch term dominates (the q=2^32 squeeze — see SECURITY.md).
+ARITH_128_MB2 = TfheParams(
+    name="arith_128_mb2",
+    n=832,
+    k=1,
+    N=2048,
+    pbs_base_log=7,
+    pbs_level=3,
+    ks_base_log=3,
+    ks_level=6,
+    lwe_noise_std=8192.0,
+    glwe_noise_std=4.0,
+    msg_space_log=5,
+    message_bits=2,
+    grouping=2,
+)
+
 TEST_PARAMS_MB = TfheParams(
     name="test_tiny_mb2",
     n=16,
@@ -466,6 +529,9 @@ ALL_PARAMS = {
         GATES_TPU_MB4,
         ARITH_TPU_MB2,
         LUT_TPU_MB2,
+        GATES_128_MB2,
+        LUT_128_MB2,
+        ARITH_128_MB2,
         TEST_PARAMS_MB,
     )
 }

@@ -47,6 +47,31 @@ def test_multibit_gate_truth_tables(mb_keys):
         assert got == exp, name
 
 
+@pytest.mark.slow
+def test_gates_128_set_end_to_end():
+    """The hardened 128-bit gates set (SECURITY.md) bootstraps correctly
+    with real noise: all four input combos of AND and XOR (XOR is the
+    worst-case linear growth the failure model pins at 2^-74)."""
+    p = P.GATES_128_MB2
+    ck = lwe.keygen(p, seed=77)
+    dsk = pbs_jnp.DeviceServerKey.from_host(server_key.gen_server_key(ck))
+    q8 = 1 << 29
+    combos = [(a, b) for a in (False, True) for b in (False, True)]
+    c1 = lwe.encrypt(ck, lwe.encode_bool([a for a, _ in combos]))
+    c2 = lwe.encrypt(ck, lwe.encode_bool([b for _, b in combos]))
+    testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
+    bs = jax.jit(pbs_jnp.bootstrap)
+    for name, lin, exp in (
+        ("and", c1 + c2 - lwe.trivial(p, np.full(4, np.uint32(q8))),
+         [a and b for a, b in combos]),
+        ("xor", 2 * (c1 + c2) + lwe.trivial(p, np.full(4, np.uint32(2 * q8))),
+         [a != b for a, b in combos]),
+    ):
+        out = np.asarray(bs(dsk, jnp.asarray(lin.astype(np.uint32)), testv))
+        got = list(lwe.decode_bool(lwe.decrypt_phase(ck, out)))
+        assert got == exp, name
+
+
 def test_multibit_matches_standard_phases():
     """Same circuit input bits give the same decrypted result under g=1 and
     g=2 keys (independent keys; bit-level equality of decoded outputs)."""

@@ -39,6 +39,42 @@ def test_security_gaps_documented():
         assert (p.k * p.N) / glwe_gap >= 1024 / 25 - 1e-6, p.name
 
 
+def test_128bit_family_noise_budget():
+    # the hardened sets must keep per-PBS failure low at their worst-case
+    # linear growth (XOR = 8, LUT/arith bivariate packing = 17)
+    assert P.GATES_128_MB2.pbs_failure_log2(linear_growth=8.0) < -60
+    assert P.LUT_128_MB2.pbs_failure_log2(linear_growth=17.0) < -35
+    assert P.ARITH_128_MB2.pbs_failure_log2(linear_growth=17.0) < -30
+
+
+def test_concrete_security_estimates():
+    """Pin the in-repo primal-uSVP core-SVP estimates (fhe/security.py).
+
+    Anchor: tfhe-rs 0.4's 128-bit boolean LWE ratio scores ~104 core-SVP
+    bits under this model (core-SVP sits ~24 bits below lattice-estimator
+    default claims); the 128-bit family must clear 100 core-SVP on BOTH
+    keys. The reference-mirroring sets inherit the reference GPU engine's
+    weak LWE key (reference: src/bin/helm.rs:141-146) — pinned at their
+    honest (low) values so any silent parameter change trips CI.
+    """
+    from helm_tpu.fhe import security
+
+    # anchor reproduces (guards against estimator regressions)
+    anchor = security.estimate_lwe_security(742, 7.069849454709433e-6 * 2**64, q=2**64)
+    assert 100 <= anchor.classical_bits <= 108
+
+    for p in (P.GATES_128_MB2, P.LUT_128_MB2, P.ARITH_128_MB2):
+        est = security.estimate_params(p)
+        assert est["lwe"].classical_bits >= 100, p.name
+        assert est["glwe"].classical_bits >= 100, p.name
+
+    # honest pins for the reference-mirroring sets (weak by construction)
+    assert 30 <= security.estimate_params(P.GATES_TPU_MB2)["lwe"].classical_bits <= 40
+    assert 40 <= security.estimate_params(P.ARITH_TPU_MB2)["lwe"].classical_bits <= 50
+    # noiseless test sets report zero security
+    assert security.security_bits(P.TEST_PARAMS) == 0.0
+
+
 def test_key_serialization_roundtrip(tmp_path):
     p = P.TEST_PARAMS
     ck = lwe.keygen(p, seed=123)
