@@ -493,8 +493,21 @@ class BooleanEngine:
         )
 
     # -- decryption ----------------------------------------------------
+    def _gather_host(self, wires) -> np.ndarray:
+        """Materialize wire state host-side. Under multi-process
+        (multi-host) meshes the level steps can leave `wires` sharded
+        across non-addressable devices; re-replicate it first (an
+        all-gather over ICI/DCN) so every controller sees every wire."""
+        if (
+            isinstance(wires, jax.Array)
+            and not wires.is_fully_addressable
+            and self._repl_shard is not None
+        ):
+            wires = jax.device_put(wires, self._repl_shard)
+        return np.asarray(wires)
+
     def decrypt_outputs(self, wires: jax.Array, from_valid: bool = False):
-        host = np.asarray(wires)
+        host = self._gather_host(wires)
         if host.ndim == 3:  # batched: one dict per input vector
             return [self._decrypt_outputs_one(h, from_valid) for h in host]
         return self._decrypt_outputs_one(host, from_valid)
@@ -513,7 +526,7 @@ class BooleanEngine:
     def decrypt_all_wires(self, wires: jax.Array):
         """Every wire, not just outputs — the reference tests assert equality
         on all wires (tests/circuit_test.rs:91-93)."""
-        host = np.asarray(wires)
+        host = self._gather_host(wires)
         if host.ndim == 3:
             return [self._decrypt_all_one(h) for h in host]
         return self._decrypt_all_one(host)

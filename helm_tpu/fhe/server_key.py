@@ -41,7 +41,10 @@ def _keygen_cpu_jit(N: int):
     import jax.numpy as jnp
 
     tab = get_tables(N)
-    cpu = jax.devices("cpu")[0]
+    # local_devices, not devices(): under multi-process (jax.distributed)
+    # the global list starts with process 0's devices, and pinning keygen
+    # to a non-addressable device breaks every other controller
+    cpu = jax.local_devices(backend="cpu")[0]
 
     @jax.jit
     def fwd(raw):  # u32 [..., N] -> NTT residues u32 [..., NP, N]

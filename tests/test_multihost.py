@@ -1,0 +1,66 @@
+"""True multi-process (multi-host-shaped) evaluation.
+
+The reference is single-host shared-memory only (rayon; SURVEY.md §2); the
+TPU build scales across hosts with one JAX process per host over
+jax.distributed (parallel/distributed.py). Real DCN needs real hosts, but
+the multi-controller runtime itself is fully exercisable on CPU: two OS
+processes, 4 virtual devices each, gloo collectives — the same program
+that runs on a pod slice. This is the runtime counterpart of the
+single-process virtual-mesh tests in test_sharding.py.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_gate_sharded_adder():
+    coordinator = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, coordinator, "2", str(pid)],
+            cwd=_REPO,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    results = {}
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("MULTIHOST_RESULT ")]
+        assert lines, f"no result line in:\n{out[-3000:]}"
+        r = json.loads(lines[-1].split(" ", 1)[1])
+        results[r["pid"]] = r
+
+    assert set(results) == {0, 1}
+    for r in results.values():
+        assert r["devices"] == 8  # global mesh spans both processes
+        assert r["oracle_ok"]
+    # both controllers computed identical ciphertext results
+    assert results[0]["outputs"] == results[1]["outputs"]
+    # 1 + 3 + 1 = 5: sum[0]=1, sum[1]=0, cout=1
+    assert results[0]["outputs"] == {"cout": True, "sum[0]": True, "sum[1]": False}
