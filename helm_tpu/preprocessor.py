@@ -50,6 +50,34 @@ YOSYS_INTERNAL = {
     "$_DFF_P_": "dff",
     "$_DFF_N_": "dff",
 }
+
+# Yosys internal cells with no single-gate HELM equivalent, lowered to a
+# short network of the 20 reference gate types (semantics per Yosys
+# simcells.v; clock polarity is irrelevant in the single-clock cycle model,
+# matching the reference's treatment of $_DFF_P_/$_DFF_N_)
+YOSYS_COMPLEX = {
+    "$_ANDNOT_": "andnot",  # Y = A & ~B
+    "$_ORNOT_": "ornot",  # Y = A | ~B
+    "$_NMUX_": "nmux",  # Y = ~(S ? B : A)
+    "$_AOI3_": "aoi3",  # Y = ~((A & B) | C)
+    "$_OAI3_": "oai3",  # Y = ~((A | B) & C)
+    "$_AOI4_": "aoi4",  # Y = ~((A & B) | (C & D))
+    "$_OAI4_": "oai4",  # Y = ~((A | B) & (C | D))
+    "$_MUX4_": "mux4",  # Y = T ? (S ? D : C) : (S ? B : A)
+    "$_MUX8_": "mux8",
+    "$_MUX16_": "mux16",
+}
+# flip-flops with synchronous controls (enable / sync reset): representable
+# as a mux/logic network in front of a plain dff, since HELM dff outputs are
+# pseudo-inputs readable in the same cycle (verilog_parser.rs:225-239)
+_DFFE_RE = re.compile(r"^\$_DFFE_[PN]([PN])_$")
+_SDFF_RE = re.compile(r"^\$_SDFF_[PN]([PN])([01])_$")
+_SDFFE_RE = re.compile(r"^\$_SDFFE_[PN]([PN])([01])([PN])_$")
+# async-control cells cannot be modeled in a synchronous cycle loop
+_ASYNC_RE = re.compile(
+    r"^\$_(DFF_[PN][PN][01]|DFFE_[PN][PN][01][PN]|DFFSR|DFFSRE|ALDFF|"
+    r"DLATCH|SR|FF)"
+)
 OUT_PORTS = ("Y", "Q", "Z", "OUT")
 # port order for helm gate lines
 PORT_ORDER = ("A", "B", "C", "D", "S", "E", "IN", "D0", "D1")
@@ -58,6 +86,23 @@ PORT_ORDER = ("A", "B", "C", "D", "S", "E", "IN", "D0", "D1")
 def _cell_kind(name: str) -> str | None:
     if name in YOSYS_INTERNAL:
         return YOSYS_INTERNAL[name]
+    if name in YOSYS_COMPLEX:
+        return YOSYS_COMPLEX[name]
+    m = _DFFE_RE.match(name)
+    if m:
+        return f"dffe:{m.group(1)}"
+    m = _SDFF_RE.match(name)
+    if m:
+        return f"sdff:{m.group(1)}{m.group(2)}"
+    m = _SDFFE_RE.match(name)
+    if m:
+        return f"sdffe:{m.group(1)}{m.group(2)}{m.group(3)}"
+    if _ASYNC_RE.match(name):
+        raise ValueError(
+            f"cell {name!r} has asynchronous controls, which a synchronous "
+            "cycle-based evaluation cannot model; re-synthesize with "
+            "synchronous resets (yosys: dfflegalize -cell $_SDFF_???_ 01)"
+        )
     up = name.upper()
     for prefix, kw in CELL_MAP.items():
         if up.startswith(prefix):
@@ -94,7 +139,71 @@ def convert_gates(text: str) -> str:
     """Yosys gate-level verilog -> HELM processed netlist text."""
     out_lines = []
     header: list[str] = []
-    gid = 0
+    extra_wires: list[str] = []
+    clock_wires: set[str] = set()
+    used_wires: set[str] = set()
+    gid = [0]
+    wid = [0]
+
+    def emit(kind: str, *args: str) -> None:
+        gid[0] += 1
+        used_wires.update(args)
+        out_lines.append(f"  {kind} g{gid[0]}({', '.join(args)});")
+
+    def fresh() -> str:
+        wid[0] += 1
+        w = f"_p{wid[0]}"
+        extra_wires.append(w)
+        return w
+
+    def emit_t(kind: str, *ins: str) -> str:
+        t = fresh()
+        emit(kind, *ins, t)
+        return t
+
+    def sel_mux(a: str, b: str, s: str, out: str | None = None) -> str:
+        # yosys S ? B : A -> helm mux ID(in0, in1, sel, out) = sel ? in0 : in1
+        # (gates.rs:189-194)
+        if out is None:
+            return emit_t("mux", b, a, s)
+        emit("mux", b, a, s, out)
+        return out
+
+    def mux_tree(data: list[str], sels: list[str], out: str) -> None:
+        # yosys $_MUX4/8/16_: first select chooses within adjacent pairs,
+        # last select chooses between halves
+        while len(data) > 2:
+            s, sels = sels[0], sels[1:]
+            data = [
+                sel_mux(data[i], data[i + 1], s)
+                for i in range(0, len(data), 2)
+            ]
+        sel_mux(data[0], data[1], sels[0], out)
+
+    def dff_data(kind: str, ports: dict, q: str) -> str:
+        """Effective D for enable/sync-reset flop variants (Q readable in
+        the same cycle: HELM dff outputs are pseudo-inputs)."""
+        variant, flags = kind.split(":")
+        d = ports["D"]
+        if variant in ("dffe", "sdffe"):
+            epol = flags[0] if variant == "dffe" else flags[2]
+            en = ports["E"]
+            # active-high: E ? D : Q;  active-low: E ? Q : D
+            d = sel_mux(q, d, en) if epol == "P" else sel_mux(d, q, en)
+        if variant in ("sdff", "sdffe"):
+            rpol, rval = flags[0], flags[1]
+            r = ports["R"]
+            # reset has priority over enable (simcells.v $_SDFFE_*)
+            if rpol == "P" and rval == "0":  # D & ~R
+                d = emit_t("and", d, emit_t("not", r))
+            elif rpol == "P" and rval == "1":  # D | R
+                d = emit_t("or", d, r)
+            elif rpol == "N" and rval == "0":  # D & R
+                d = emit_t("and", d, r)
+            else:  # N, 1: D | ~R
+                d = emit_t("or", d, emit_t("not", r))
+        return d
+
     for stmt in _flatten_statements(text):
         s = " ".join(stmt.split())
         if not s:
@@ -118,19 +227,67 @@ def convert_gates(text: str) -> str:
                 break
         if outw is None:
             raise ValueError(f"no output port on {cell} instance: {ports}")
-        ins = [ports[p] for p in PORT_ORDER if p in ports]
-        gid += 1
-        name = f"g{gid}"
+        if kind == "dff" or kind.startswith(("dffe:", "sdff:", "sdffe:")):
+            # drop clock pins: processed netlists are clockless (the cycle
+            # loop IS the clock), and pure clock nets leave the input list
+            for cp in ("C", "CK", "CLK", "CLOCK"):
+                if cp in ports:
+                    clock_wires.add(ports.pop(cp))
         if kind == "mux":
-            # yosys $_MUX_: A,B data, S select -> helm mux ID(in0, in1, sel, out)
-            # helm semantics: out = sel ? in0 : in1 (gates.rs:189-194); yosys
-            # semantics: S ? B : A
-            a, b, sel = ports.get("A"), ports.get("B"), ports.get("S")
-            out_lines.append(f"  mux {name}({b}, {a}, {sel}, {outw});")
+            sel_mux(ports["A"], ports["B"], ports["S"], outw)
+        elif kind == "nmux":
+            emit("not", sel_mux(ports["A"], ports["B"], ports["S"]), outw)
+        elif kind == "andnot":  # Y = A & ~B
+            emit("and", ports["A"], emit_t("not", ports["B"]), outw)
+        elif kind == "ornot":  # Y = A | ~B
+            emit("or", ports["A"], emit_t("not", ports["B"]), outw)
+        elif kind == "aoi3":  # Y = ~((A & B) | C)
+            emit("nor", emit_t("and", ports["A"], ports["B"]), ports["C"], outw)
+        elif kind == "oai3":  # Y = ~((A | B) & C)
+            emit("nand", emit_t("or", ports["A"], ports["B"]), ports["C"], outw)
+        elif kind == "aoi4":  # Y = ~((A & B) | (C & D))
+            emit(
+                "nor",
+                emit_t("and", ports["A"], ports["B"]),
+                emit_t("and", ports["C"], ports["D"]),
+                outw,
+            )
+        elif kind == "oai4":  # Y = ~((A | B) & (C | D))
+            emit(
+                "nand",
+                emit_t("or", ports["A"], ports["B"]),
+                emit_t("or", ports["C"], ports["D"]),
+                outw,
+            )
+        elif kind in ("mux4", "mux8", "mux16"):
+            nd = {"mux4": 4, "mux8": 8, "mux16": 16}[kind]
+            data = [ports[chr(ord("A") + i)] for i in range(nd)]
+            sels = [chr(ord("S") + i) for i in range(nd.bit_length() - 1)]
+            mux_tree(data, [ports[s] for s in sels], outw)
+        elif kind.startswith(("dffe:", "sdff:", "sdffe:")):
+            emit("dff", dff_data(kind, ports, outw), outw)
         elif kind in ("not", "buf", "dff"):
-            out_lines.append(f"  {kind} {name}({ins[0]}, {outw});")
+            ins = [ports[p] for p in PORT_ORDER if p in ports]
+            emit(kind, ins[0], outw)
         else:
-            out_lines.append(f"  {kind} {name}({ins[0]}, {ins[1]}, {outw});")
+            ins = [ports[p] for p in PORT_ORDER if p in ports]
+            emit(kind, ins[0], ins[1], outw)
+    if extra_wires:
+        out_lines.insert(0, f"  wire {', '.join(extra_wires)};")
+    dead_clocks = clock_wires - used_wires
+    if dead_clocks:
+        pruned = []
+        for h in header:
+            if h.startswith("input"):
+                names = [
+                    n.strip() for n in h[len("input"):].rstrip(";").split(",")
+                ]
+                names = [n for n in names if n not in dead_clocks]
+                if not names:
+                    continue
+                h = "input " + ", ".join(names) + ";"
+            pruned.append(h)
+        header = pruned
     body = "\n".join(out_lines)
     hdr = "\n".join("  " + h if not h.startswith(("module", "endmodule")) else h for h in header if not h.startswith("endmodule"))
     return f"{hdr}\n{body}\nendmodule\n"
