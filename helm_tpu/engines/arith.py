@@ -57,6 +57,12 @@ class ArithEngine:
         from . import radix
 
         radix.BATCH_SHARD[0] = batch_shard
+        self._repl_shard = repl_shard
+
+    def _gather_host(self, wires) -> np.ndarray:
+        from ..parallel.mesh import gather_host
+
+        return gather_host(wires, getattr(self, "_repl_shard", None))
 
     def compile(self, netlist: Netlist) -> None:
         circuit = Circuit(
@@ -266,7 +272,7 @@ class ArithEngine:
     def decrypt_outputs(self, wires: jax.Array) -> dict | list:
         """dict when encrypt_inputs got a single map; list of dicts (one
         per vector, length preserved even at 1) when it got a list."""
-        host = np.asarray(wires)
+        host = self._gather_host(wires)
         outs = [
             {
                 w: self._decrypt_value(host[self.wire_index[w], vi])
@@ -277,7 +283,7 @@ class ArithEngine:
         return outs if getattr(self, "_batched", host.shape[1] > 1) else outs[0]
 
     def decrypt_all_wires(self, wires: jax.Array) -> dict | list:
-        host = np.asarray(wires)
+        host = self._gather_host(wires)
         outs = [
             {
                 w: self._decrypt_value(host[i, vi])

@@ -494,17 +494,9 @@ class BooleanEngine:
 
     # -- decryption ----------------------------------------------------
     def _gather_host(self, wires) -> np.ndarray:
-        """Materialize wire state host-side. Under multi-process
-        (multi-host) meshes the level steps can leave `wires` sharded
-        across non-addressable devices; re-replicate it first (an
-        all-gather over ICI/DCN) so every controller sees every wire."""
-        if (
-            isinstance(wires, jax.Array)
-            and not wires.is_fully_addressable
-            and self._repl_shard is not None
-        ):
-            wires = jax.device_put(wires, self._repl_shard)
-        return np.asarray(wires)
+        from ..parallel.mesh import gather_host
+
+        return gather_host(wires, self._repl_shard)
 
     def decrypt_outputs(self, wires: jax.Array, from_valid: bool = False):
         host = self._gather_host(wires)

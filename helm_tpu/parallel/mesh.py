@@ -37,7 +37,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_engine(engine, n_devices: int | None = None) -> Mesh:
-    """Turn on gate sharding for a BooleanEngine (engines/boolean.py)."""
+    """Turn on gate sharding for a Boolean/Arith engine."""
     mesh = make_gate_mesh(n_devices)
     engine.set_sharding(batch_sharding(mesh), replicated(mesh))
     return mesh
+
+
+def gather_host(wires, repl_shard) -> np.ndarray:
+    """Materialize device wire state host-side. Under multi-process
+    (multi-host) meshes evaluation can leave `wires` sharded across
+    non-addressable devices; re-replicate first (an all-gather over
+    ICI/DCN) so every controller sees every wire."""
+    if (
+        isinstance(wires, jax.Array)
+        and not wires.is_fully_addressable
+        and repl_shard is not None
+    ):
+        wires = jax.device_put(wires, repl_shard)
+    return np.asarray(wires)

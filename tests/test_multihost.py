@@ -27,13 +27,13 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_gate_sharded_adder():
+def _run_two_process(mode: str) -> dict:
     coordinator = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, coordinator, "2", str(pid)],
+            [sys.executable, _WORKER, coordinator, "2", str(pid), mode],
             cwd=_REPO,
             env=env,
             stdout=subprocess.PIPE,
@@ -60,7 +60,21 @@ def test_two_process_gate_sharded_adder():
     for r in results.values():
         assert r["devices"] == 8  # global mesh spans both processes
         assert r["oracle_ok"]
-    # both controllers computed identical ciphertext results
+    # both controllers computed identical decrypted results
     assert results[0]["outputs"] == results[1]["outputs"]
+    return results[0]["outputs"]
+
+
+def test_two_process_gate_sharded_adder():
+    outputs = _run_two_process("gates")
     # 1 + 3 + 1 = 5: sum[0]=1, sum[1]=0, cout=1
-    assert results[0]["outputs"] == {"cout": True, "sum[0]": True, "sum[1]": False}
+    assert outputs == {"cout": True, "sum[0]": True, "sum[1]": False}
+
+
+def test_two_process_arith_dataflow_chi_squared():
+    """The arith dataflow scheduler's merged radix launches, sharded over a
+    2-process global mesh (chi-squared u8, n0=3 n1=5 n2=7)."""
+    outputs = _run_two_process("arith")
+    n0, n1, n2 = 3, 5, 7
+    assert outputs["alpha"] == ((4 * n0 * n2 - n1 * n1) ** 2) % 256
+    assert outputs["beta1"] == (2 * (2 * n0 + n1) ** 2) % 256
