@@ -75,7 +75,10 @@ def lut_adder(nbits: int, lut_inputs: int) -> str:
 
 
 def gate_multiplier(nbits: int) -> str:
-    """N-bit array multiplier in Boolean gates (the `N-bit-mult` family)."""
+    """N-bit multiplier in Boolean gates (the `N-bit-mult` family), mod 2^N:
+    Wallace carry-save reduction + Kogge-Stone final adder — the log-depth
+    structure synthesis tools emit (~50 levels at 128 bits; a naive ripple
+    array is ~16k levels deep, pathological for per-level PBS launches)."""
     L = [f"module mult{nbits}(a, b, prod);"]
     L.append(f"  input [{nbits-1}:0] a;")
     L.append(f"  input [{nbits-1}:0] b;")
@@ -85,48 +88,79 @@ def gate_multiplier(nbits: int) -> str:
     def em(line):
         L.append("  " + line)
 
-    def fresh(pfx):
+    def gate(kind: str, x: str, y: str) -> str:
         g[0] += 1
-        return f"{pfx}_{g[0]}"
+        w = f"{kind[0]}_{g[0]}"
+        em(f"{kind} g{g[0]}({x}, {y}, {w});")
+        return w
 
-    # partial products
-    pp = [[None] * nbits for _ in range(nbits)]
+    # symbolic two-input ops over wire-or-None (None == constant 0)
+    def AND(x, y):
+        return None if x is None or y is None else gate("and", x, y)
+
+    def XOR(x, y):
+        if x is None:
+            return y
+        if y is None:
+            return x
+        return gate("xor", x, y)
+
+    def OR(x, y):
+        if x is None:
+            return y
+        if y is None:
+            return x
+        return gate("or", x, y)
+
+    # partial products at column weight i+j (weights >= nbits drop: mod 2^N)
+    cols: list[list[str]] = [[] for _ in range(nbits)]
     for i in range(nbits):
         for j in range(nbits - i):
-            w = fresh("pp")
-            em(f"and ga{g[0]}(a[{j}], b[{i}], {w});")
-            pp[i][j] = w  # weight i+j
-    # column-wise ripple accumulation
-    cols = [[] for _ in range(nbits)]
-    for i in range(nbits):
-        for j in range(nbits - i):
-            cols[i + j].append(pp[i][j])
-    carry_in: list[list[str]] = [[] for _ in range(nbits + 1)]
+            cols[i + j].append(gate("and", f"a[{j}]", f"b[{i}]"))
+    # Wallace reduction: 3:2 compressors per column, plus a 2:2 (half
+    # adder) on a remainder pair — without the HA the 2-terms+carry case
+    # ripples one column per stage and the stage count degenerates to
+    # O(N); with it the loop converges in ~log(N) stages (10 at 128 bits)
+    while any(len(terms) > 2 for terms in cols):
+        nxt: list[list[str]] = [[] for _ in range(nbits)]
+        for c, terms in enumerate(cols):
+            k = 0
+            while len(terms) - k >= 3:
+                x, y, z = terms[k : k + 3]
+                k += 3
+                t1 = gate("xor", x, y)
+                nxt[c].append(gate("xor", t1, z))  # sum stays in column
+                if c + 1 < nbits:  # carry moves one column up
+                    nxt[c + 1].append(
+                        gate("or", gate("and", x, y), gate("and", z, t1))
+                    )
+            if len(terms) - k == 2:  # half adder on the remainder pair
+                x, y = terms[k:]
+                nxt[c].append(gate("xor", x, y))
+                if c + 1 < nbits:
+                    nxt[c + 1].append(gate("and", x, y))
+            else:
+                nxt[c].extend(terms[k:])
+        cols = nxt
+    # final 2-row add via Kogge-Stone parallel prefix (log-depth carries)
+    A = [terms[0] if terms else None for terms in cols]
+    B = [terms[1] if len(terms) > 1 else None for terms in cols]
+    p = [XOR(A[c], B[c]) for c in range(nbits)]
+    G = [AND(A[c], B[c]) for c in range(nbits)]
+    P = list(p)
+    d = 1
+    while d < nbits:
+        # downward sweep reads the previous stage's G/P at c-d
+        for c in range(nbits - 1, d - 1, -1):
+            G[c] = OR(G[c], AND(P[c], G[c - d]))
+            P[c] = AND(P[c], P[c - d])
+        d *= 2
     for c in range(nbits):
-        terms = cols[c] + carry_in[c]
-        while len(terms) > 1:
-            if len(terms) >= 3:  # full adder
-                x, y, z = terms.pop(), terms.pop(), terms.pop()
-                t1, s, t2, t3, co = (fresh("t") for _ in range(5))
-                em(f"xor gx{g[0]}({x}, {y}, {t1});")
-                em(f"xor gs{g[0]}({t1}, {z}, {s});")
-                em(f"and g1{g[0]}({x}, {y}, {t2});")
-                em(f"and g2{g[0]}({z}, {t1}, {t3});")
-                em(f"or gc{g[0]}({t2}, {t3}, {co});")
-                terms.append(s)
-            else:  # half adder
-                x, y = terms.pop(), terms.pop()
-                s, co = fresh("s"), fresh("c")
-                em(f"xor gh{g[0]}({x}, {y}, {s});")
-                em(f"and gg{g[0]}({x}, {y}, {co});")
-                terms.append(s)
-            if c + 1 <= nbits:
-                carry_in[c + 1].append(co)
-        last = terms[0] if terms else None
-        if last is None:
+        s = XOR(p[c], G[c - 1] if c else None)
+        if s is None:
             em(f"czero z{c}(prod[{c}]);")
         else:
-            em(f"buf gb{c}({last}, prod[{c}]);")
+            em(f"buf gb{c}({s}, prod[{c}]);")
     L.append("endmodule")
     return "\n".join(L) + "\n"
 
@@ -917,9 +951,10 @@ def euclidean_arith(n: int) -> str:
 def mmult_arith(k: int) -> str:
     """k x k encrypted matrix multiply (mmult family, RUNNING.md runs
     5x5..15x15): c[i][j] = sum_l a[i][l]*b[l][j]."""
-    a_ios = ", ".join(f"a{i}{l}" for i in range(k) for l in range(k))
-    b_ios = ", ".join(f"b{l}{j}" for l in range(k) for j in range(k))
-    c_ios = ", ".join(f"c{i}{j}" for i in range(k) for j in range(k))
+    # underscore-separated indices: f"a{i}{l}" is ambiguous once k >= 10
+    a_ios = ", ".join(f"a{i}_{l}" for i in range(k) for l in range(k))
+    b_ios = ", ".join(f"b{l}_{j}" for l in range(k) for j in range(k))
+    c_ios = ", ".join(f"c{i}_{j}" for i in range(k) for j in range(k))
     L = [
         f"// {k}x{k} matrix multiply (mmult family of RUNNING.md)",
         f"module mmult{k}({a_ios}, {b_ios}, {c_ios});",
@@ -932,13 +967,13 @@ def mmult_arith(k: int) -> str:
         for j in range(k):
             prods = []
             for l in range(k):
-                L.append(f"  mult m{g}(a{i}{l}, b{l}{j}, p{g});")
+                L.append(f"  mult m{g}(a{i}_{l}, b{l}_{j}, p{g});")
                 prods.append(f"p{g}")
                 g += 1
             while len(prods) > 1:
                 nxt = []
                 for z in range(0, len(prods) - 1, 2):
-                    out = f"c{i}{j}" if len(prods) == 2 else f"t{g}"
+                    out = f"c{i}_{j}" if len(prods) == 2 else f"t{g}"
                     L.append(f"  add ad{g}({prods[z]}, {prods[z+1]}, {out});")
                     nxt.append(out)
                     g += 1
@@ -961,17 +996,33 @@ def main(outdir: str = "benchmarks/netlists"):
     (out / "16-bit-mult.v").write_text(gate_multiplier(16))
     (out / "32-bit-mult.v").write_text(gate_multiplier(32))
     (out / "64-bit-mult.v").write_text(gate_multiplier(64))
+    (out / "128-bit-mult.v").write_text(gate_multiplier(128))
     (out / "8-bit-mult.v").write_text(gate_multiplier(8))
+    # ISCAS'85 stand-ins at the published (inputs, gates, outputs) sizes
+    # (README.md:70-113 / RUNNING.md family list; real netlists live in
+    # the non-vendored hdl-benchmarks submodule)
     (out / "c880-like.v").write_text(random_levelized("c880like", 60, 383, 26, seed=880))
+    (out / "c1355-like.v").write_text(random_levelized("c1355like", 41, 546, 32, seed=1355))
+    (out / "c1908-like.v").write_text(random_levelized("c1908like", 33, 880, 25, seed=1908))
+    (out / "c2670-like.v").write_text(random_levelized("c2670like", 233, 1193, 140, seed=2670))
+    (out / "c3540-like.v").write_text(random_levelized("c3540like", 50, 1669, 22, seed=3540))
+    (out / "c5315-like.v").write_text(random_levelized("c5315like", 178, 2307, 123, seed=5315))
+    (out / "c6288-like.v").write_text(random_levelized("c6288like", 32, 2416, 32, seed=6288))
     (out / "c7552-like.v").write_text(random_levelized("c7552like", 207, 3512, 108, seed=7552))
     (out / "s386-like.v").write_text(random_sequential("s386like", 7, 6, 159, seed=386))
     (out / "s1488-like.v").write_text(random_sequential("s1488like", 8, 6, 653, seed=1488))
+    (out / "s15850-like.v").write_text(
+        random_sequential("s15850like", 77, 534, 9772, seed=15850)
+    )
     (out / "chi_squared_arith.v").write_text(CHI_SQUARED)
     (out / "crc32.v").write_text(crc32_circuit())
     (out / "aes128.v").write_text(aes128_circuit(10))
     (out / "aes128-gates.v").write_text(aes128_gates_circuit(10))
     (out / "euclidean32_arith.v").write_text(euclidean_arith(32))
+    (out / "euclidean64_arith.v").write_text(euclidean_arith(64))
     (out / "mmult5_arith.v").write_text(mmult_arith(5))
+    (out / "mmult10_arith.v").write_text(mmult_arith(10))
+    (out / "mmult15_arith.v").write_text(mmult_arith(15))
     print(f"wrote netlists to {out}")
 
 

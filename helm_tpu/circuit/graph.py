@@ -50,36 +50,59 @@ class Circuit:
 
     # -- scheduling ----------------------------------------------------
     def sort_circuit(self) -> None:
+        """Kahn wave peeling, O(V+E) via in-degree counting.
+
+        Wave semantics match the reference retain-loop (circuit.rs:122-171):
+        DFF/Const gates are always-ready and peel in the first pass (their
+        outputs become ready for wave 2), each wave is name-sorted, and
+        const gates lead / DFFs trail the final order.
+        """
         assert self.gates and not self.ordered_gates
-        wire_ready = set(self.input_wires)
-        remaining = list(self.gates)
         dff_level: list[Gate] = []
         const_level: list[Gate] = []
-        while remaining:
-            level: list[Gate] = []
-            next_ready: set[str] = set()
-            still: list[Gate] = []
-            for g in remaining:
-                if g.type == GateType.DFF:
-                    next_ready.add(g.output)
-                    dff_level.append(g)
-                elif g.type in (GateType.CONST_ONE, GateType.CONST_ZERO):
-                    next_ready.add(g.output)
-                    const_level.append(g)
-                elif all(w in wire_ready or _is_numeric(w) for w in g.inputs):
-                    next_ready.add(g.output)
-                    level.append(g)
-                else:
-                    still.append(g)
-            if not (level or dff_level or const_level) and still:
-                raise ValueError(
-                    "Cyclic or underdriven netlist; stuck gates: "
-                    + ", ".join(g.name for g in still[:5])
-                )
-            wire_ready |= next_ready
-            level.sort(key=lambda g: g.name)
-            self.ordered_gates.extend(level)
-            remaining = still
+        comb: list[Gate] = []
+        for g in self.gates:
+            if g.type == GateType.DFF:
+                dff_level.append(g)
+            elif g.type in (GateType.CONST_ONE, GateType.CONST_ZERO):
+                const_level.append(g)
+            else:
+                comb.append(g)
+        ready = set(self.input_wires)
+        consumers: dict[str, list[Gate]] = {}
+        pending: dict[int, int] = {}  # id(gate) -> unready distinct inputs
+        wave: list[Gate] = []
+        for g in comb:
+            need = 0
+            for w in set(g.inputs):
+                if w not in ready and not _is_numeric(w):
+                    need += 1
+                    consumers.setdefault(w, []).append(g)
+            if need:
+                pending[id(g)] = need
+            else:
+                wave.append(g)
+        # DFF/Const outputs are peeled in pass 1 and ready from wave 2 on
+        extra = [g.output for g in dff_level + const_level]
+        while wave or extra:
+            wave.sort(key=lambda g: g.name)
+            self.ordered_gates.extend(wave)
+            newly = [g.output for g in wave] + extra
+            extra = []
+            wave = []
+            for w in newly:
+                for g in consumers.pop(w, ()):
+                    pending[id(g)] -= 1
+                    if not pending[id(g)]:
+                        del pending[id(g)]
+                        wave.append(g)
+        if pending:
+            ids = set(pending)
+            stuck = [g.name for g in comb if id(g) in ids]
+            raise ValueError(
+                "Cyclic or underdriven netlist; stuck gates: "
+                + ", ".join(stuck[:5])
+            )
         const_level.sort(key=lambda g: g.name)
         self.ordered_gates = const_level + self.ordered_gates + dff_level
         self.gates = []

@@ -14,6 +14,10 @@ PTXT_WIDTHS = {"bool": 1, "u8": 8, "u16": 16, "u32": 32, "u64": 64, "u128": 128}
 
 
 def hex_to_bitstring(hex_string: str) -> str:
+    """Reference src/lib.rs:181-194 (raw hex chars). Lenient superset: an
+    optional 0x/0X prefix is tolerated (the reference panics on it)."""
+    if hex_string[:2] in ("0x", "0X"):
+        hex_string = hex_string[2:]
     return "".join(f"{int(c, 16):04b}" for c in hex_string)
 
 

@@ -357,11 +357,47 @@ def test_mmult5_oracle():
     c = Circuit.from_netlist(nl)
     A = [[rnd.randrange(100) for _ in range(5)] for _ in range(5)]
     B = [[rnd.randrange(100) for _ in range(5)] for _ in range(5)]
-    ins = {f"a{i}{l}": A[i][l] for i in range(5) for l in range(5)}
-    ins |= {f"b{l}{j}": B[l][j] for l in range(5) for j in range(5)}
+    ins = {f"a{i}_{l}": A[i][l] for i in range(5) for l in range(5)}
+    ins |= {f"b{l}_{j}": B[l][j] for l in range(5) for j in range(5)}
     wm = c.evaluate_arith(c.initialize_wire_map(nl.wire_set, ins, default=0), 32)
     for i in range(5):
         for j in range(5):
-            assert wm[f"c{i}{j}"] == sum(
+            assert wm[f"c{i}_{j}"] == sum(
                 A[i][l] * B[l][j] for l in range(5)
+            ) % 2**32, (i, j)
+
+
+def test_euclidean64_oracle():
+    """euclidean n=64 (the larger RUNNING.md size) against the oracle."""
+    import random
+
+    rnd = random.Random(11)
+    nl = read_verilog_file("benchmarks/netlists/euclidean64_arith.v", True)
+    c = Circuit.from_netlist(nl)
+    a = [rnd.randrange(1000) for _ in range(64)]
+    b = [rnd.randrange(1000) for _ in range(64)]
+    ins = {f"a{i}": a[i] for i in range(64)}
+    ins |= {f"b{i}": b[i] for i in range(64)}
+    wm = c.evaluate_arith(c.initialize_wire_map(nl.wire_set, ins, default=0), 32)
+    assert wm["dist"] == sum((x - y) ** 2 for x, y in zip(a, b)) % 2**32
+
+
+@pytest.mark.parametrize("k", [10, 15])
+def test_mmult_large_oracle(k):
+    """10x10 and 15x15 matrix multiplies (mmult family, RUNNING.md runs
+    5x5..15x15) against the arithmetic oracle."""
+    import random
+
+    rnd = random.Random(k)
+    nl = read_verilog_file(f"benchmarks/netlists/mmult{k}_arith.v", True)
+    c = Circuit.from_netlist(nl)
+    A = [[rnd.randrange(100) for _ in range(k)] for _ in range(k)]
+    B = [[rnd.randrange(100) for _ in range(k)] for _ in range(k)]
+    ins = {f"a{i}_{l}": A[i][l] for i in range(k) for l in range(k)}
+    ins |= {f"b{l}_{j}": B[l][j] for l in range(k) for j in range(k)}
+    wm = c.evaluate_arith(c.initialize_wire_map(nl.wire_set, ins, default=0), 32)
+    for i in range(k):
+        for j in range(k):
+            assert wm[f"c{i}_{j}"] == sum(
+                A[i][l] * B[l][j] for l in range(k)
             ) % 2**32, (i, j)
