@@ -33,15 +33,22 @@ run bench 2400 python bench.py
 # 3. chi-squared u32 arith with the dataflow scheduler (was 28.8 s)
 run chi2-mxu-b1 5400 env BACKEND=mxu PARAMS=ARITH_TPU_MB2 python tools/chi2_tpu_bench.py
 
-# 4. chi-squared batched serving
-run chi2-mxu-b8 5400 env BACKEND=mxu PARAMS=ARITH_TPU_MB2 BATCH=8 python tools/chi2_tpu_bench.py
+# 4. N=2048 fs-kernel VMEM relief probes (digrec/crtacc, gt 128/256)
+run mb-sweep 7200 env PSET=ARITH_TPU_MB2 LAYOUT=fs G=512 GTS=128,256 \
+  ABLATES=":digrec:crtacc:digrec,crtacc" python tools/mb_sweep.py
 
-# 5. AES-128 gates-mode (tower S-box), single block then batch 4
+# 5. mult family, log-depth netlists (48 levels / 51k gates at 128-bit:
+#    wide levels, the throughput shape)
+run mult128 7200 env PSET=GATES_TPU_MB2 BACKEND=mxu \
+  NETLIST=benchmarks/netlists/128-bit-mult.v python tools/c880_tpu_bench.py
+run mult32 5400 env PSET=GATES_TPU_MB2 BACKEND=mxu \
+  NETLIST=benchmarks/netlists/32-bit-mult.v python tools/c880_tpu_bench.py
+
+# 6. AES-128 gates-mode (tower S-box), single block then batch 4
 run aes-b1 7200 env PSET=GATES_TPU_MB2 BACKEND=mxu python tools/aes_tpu_bench.py
 run aes-b4 7200 env PSET=GATES_TPU_MB2 BACKEND=mxu BATCH=4 python tools/aes_tpu_bench.py
 
-# 6. N=2048 fs-kernel VMEM relief probes (digrec/crtacc, gt 128/256)
-run mb-sweep 7200 env PSET=ARITH_TPU_MB2 LAYOUT=fs G=512 GTS=128,256 \
-  ABLATES=":digrec:crtacc:digrec,crtacc" python tools/mb_sweep.py
+# 7. chi-squared batched serving
+run chi2-mxu-b8 5400 env BACKEND=mxu PARAMS=ARITH_TPU_MB2 BATCH=8 python tools/chi2_tpu_bench.py
 
 log "=== tpu_queue complete ==="
