@@ -260,6 +260,11 @@ class ArithEngine:
         if t == GateType.SUB:
             return ops.sub_g(opnd(g.inputs[0]), opnd(g.inputs[1])), None
         if t == GateType.DIV:
+            if _is_numeric(g.inputs[1]):  # plain divisor: mul-by-reciprocal
+                return (
+                    ops.div_plain_g(opnd(g.inputs[0]), int(g.inputs[1])),
+                    None,
+                )
             return ops.div_g(opnd(g.inputs[0]), opnd(g.inputs[1])), None
         raise ValueError(f"unsupported arith gate {t}")
 

@@ -71,6 +71,11 @@ class RadixTestPolys:
         self.status = tv(lambda m: np.where(m >= 4, 2, np.where(m == 3, 1, 0)))
         # combine(newer=idx>>2, older=idx&3): newer==1 ? older : newer
         self.cmb = tv(lambda m: np.where((m >> 2) == 1, m & 3, m >> 2))
+        # fused combine-then-carry for the LAST scan round: carry bit of
+        # the combined status (status==2 -> 1)
+        self.cmbc = tv(
+            lambda m: np.where((m >> 2) == 1, m & 3, m >> 2) // 2
+        )
         # final message from idx = 2*s + carry_in
         self.msgc = tv(lambda m: ((m >> 1) + (m & 1)) % 4)
 
@@ -184,16 +189,24 @@ def _propagate_g(tp: RadixTestPolys, z, with_carry=False):
     (a,) = yield [(flat, tp.status)]
     a = a.reshape(B, nb, n1)
     o = 1
-    while o < nb:
+    while 2 * o < nb:
         # inclusive scan: a[i] <- combine(a[i] over a[i-o])
         pre = 4 * a[:, o:] + a[:, :-o]
         (upd,) = yield [(pre.reshape(B * (nb - o), n1), tp.cmb)]
         a = jnp.concatenate([a[:, :o], upd.reshape(B, nb - o, n1)], axis=1)
         o *= 2
-    # carry into block i (i>=1) = (prefix status of blocks 0..i-1) == 2
-    hi = nb if with_carry else nb - 1
-    (cs,) = yield [(a[:, :hi].reshape(B * hi, n1), tp.half)]
-    cs = cs.reshape(B, hi, n1)
+    # final scan round, fused with carry extraction: positions < o are
+    # already final (Hillis-Steele: position i is final once o > i), so
+    # this ONE launch maps them through `half` while the rest combine
+    # straight to a carry bit via `cmbc` — saving the separate half round
+    pre = 4 * a[:, o:] + a[:, :-o]
+    hic, loc = yield [
+        (pre.reshape(B * (nb - o), n1), tp.cmbc),
+        (a[:, :o].reshape(B * o, n1), tp.half),
+    ]
+    cs = jnp.concatenate(
+        [loc.reshape(B, o, n1), hic.reshape(B, nb - o, n1)], axis=1
+    )
     cin = jnp.concatenate(
         [jnp.zeros((B, 1, n1), jnp.uint32), cs[:, : nb - 1]], axis=1
     )
@@ -205,7 +218,7 @@ def _propagate_g(tp: RadixTestPolys, z, with_carry=False):
 
 _RTP_FIELDS = (
     "msg", "carry", "mul_lo", "mul_hi", "lobit", "hibit", "lobit2", "half",
-    "status", "cmb", "msgc",
+    "status", "cmb", "cmbc", "msgc",
 )
 
 jax.tree_util.register_pytree_node(
@@ -261,6 +274,40 @@ class RadixOps:
         p = self.params
         z = x.at[:, 0, p.n].add(jnp.uint32(v * p.delta))
         return _propagate_g(self.tp, z)
+
+    def ge_g(self, x, y):
+        """Carry-only comparison: (x >= y) as one encrypted bit — the
+        carry-out of x + ~y + 1 via a log-depth generate/propagate status
+        REDUCTION (a full subtraction computes every prefix carry plus a
+        final message round just to discard them; the reduction needs
+        ceil(log2 nb) combine rounds over a halving batch)."""
+        p = self.params
+        B, nb = x.shape[0], x.shape[1]
+        n1 = p.n + 1
+        neg = jnp.uint32(0) - y
+        neg = neg.at[:, :, p.n].add(jnp.uint32(3 * p.delta))
+        z = x + neg
+        z = z.at[:, 0, p.n].add(jnp.uint32(p.delta))
+        (a,) = yield [(z.reshape(B * nb, n1), self.tp.status)]
+        a = a.reshape(B, nb, n1)
+        m = nb
+        while m > 2:
+            h = m // 2
+            pre = 4 * a[:, 1 : 2 * h : 2] + a[:, 0 : 2 * h : 2]
+            (cmb,) = yield [(pre.reshape(B * h, n1), self.tp.cmb)]
+            cmb = cmb.reshape(B, h, n1)
+            a = (
+                jnp.concatenate([cmb, a[:, 2 * h :]], axis=1)
+                if m % 2
+                else cmb
+            )
+            m = h + m % 2
+        if m == 2:  # final combine straight to the carry bit
+            pre = (4 * a[:, 1] + a[:, 0]).reshape(B, n1)
+            (c,) = yield [(pre, self.tp.cmbc)]
+        else:
+            (c,) = yield [(a[:, 0], self.tp.half)]
+        return c
 
     # -- mul -----------------------------------------------------------
     def mul_g(self, x, y):
@@ -411,8 +458,8 @@ class RadixOps:
             z = 2 * r
             z = z.at[:, 0].add(xbit[k])
             r = yield from _propagate_g(self.tp, z)
-            # ge = (r >= y), the carry-out of r - y
-            _, ge = yield from self.sub_g(r, y_ext, with_carry=True)
+            # ge = (r >= y), carry-only log-depth comparison
+            ge = yield from self.ge_g(r, y_ext)
             # r <- r - ge*y: gy blocks via bivariate (4*ge + y_i)
             gy_pre = jnp.swapaxes(4 * ge[:, None] + y_ext, 0, 1).reshape(
                 B * nbe, p.n + 1
@@ -430,6 +477,39 @@ class RadixOps:
         q = jnp.stack(blocks, axis=1)
         (m,) = yield [(q.reshape(B * nb, p.n + 1), self.tp.msg)]
         return m.reshape(B, nb, p.n + 1)
+
+    def div_plain_g(self, x, d: int):
+        """Division by a plaintext divisor via multiply-by-reciprocal
+        (Granlund-Montgomery): floor(x/d) == floor(x*M / 2^k) exactly for
+        all x < 2^w with l = ceil(log2 d), k = w + l, M = ceil(2^k / d)
+        (then M*d - 2^k < d <= 2^l = 2^(k-w), the exactness condition).
+        One widened mul_plain + a free right relabel — ~5-16x fewer
+        bootstrap rounds than restoring division with a trivially
+        encrypted divisor. Counterpart of the reference's ct/pt div
+        (gates.rs:306-702 _plain variants, which tfhe-rs also computes
+        far cheaper than ct/ct)."""
+        p = self.params
+        B, nb = x.shape[0], x.shape[1]
+        w = 2 * nb
+        d &= (1 << w) - 1
+        if d == 0:  # all-ones, like the restoring-division path
+            return trivial_blocks(p, (1 << w) - 1, nb, B)
+        if d == 1:
+            return x
+        if d & (d - 1) == 0:
+            return (
+                yield from self.shift_plain_g(x, d.bit_length() - 1, False)
+            )
+        l = (d - 1).bit_length()
+        k = w + l
+        M = ((1 << k) + d - 1) // d
+        # widen so x*M (< 2^(w+k)) never truncates, then shift right by k
+        nb2 = (w + k + 1) // 2
+        zpad = jnp.zeros((B, nb2 - nb, p.n + 1), jnp.uint32)
+        xw = jnp.concatenate([x, zpad], axis=1)
+        prod = yield from self.mul_plain_g(xw, M)
+        q = yield from self.shift_plain_g(prod, k, False)
+        return q[:, :nb]
 
     # -- shifts --------------------------------------------------------
     def shift_plain_g(self, x, amount: int, left: bool):
@@ -559,6 +639,12 @@ class RadixOps:
 
     def div(self, x, y):
         return _run(self.dsk, self.div_g(x, y))
+
+    def div_plain(self, x, d: int):
+        return _run(self.dsk, self.div_plain_g(x, d))
+
+    def ge(self, x, y):
+        return _run(self.dsk, self.ge_g(x, y))
 
     def shift_plain(self, x, amount: int, left: bool):
         return _run(self.dsk, self.shift_plain_g(x, amount, left))

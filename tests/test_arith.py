@@ -5,10 +5,12 @@ vectors) but checks against the arithmetic plaintext oracle at several
 precisions and input sets.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from helm_tpu import params as P
+from helm_tpu.fhe import lwe
 from helm_tpu.circuit.graph import Circuit
 from helm_tpu.circuit.verilog import parse_verilog, read_verilog_file
 from helm_tpu.engines.arith import ArithEngine
@@ -401,3 +403,53 @@ def test_mmult_large_oracle(k):
             assert wm[f"c{i}_{j}"] == sum(
                 A[i][l] * B[l][j] for l in range(k)
             ) % 2**32, (i, j)
+
+
+def test_div_plain_reciprocal(engine_u8):
+    """Plain-divisor division (mul-by-reciprocal, Granlund-Montgomery):
+    exact floor(x/d) for edge divisors incl. 0 (all-ones), 1, powers of
+    two (pure relabels), and odd reciprocals."""
+    e = engine_u8
+    rng = np.random.default_rng(1)
+    xs = rng.integers(0, 256, 12)
+    cts = jnp.asarray(
+        np.stack([np.asarray(e._encrypt_value(int(v))) for v in xs])
+    )
+    for d in (0, 1, 3, 4, 7, 10, 100, 255):
+        q = e.ops.div_plain(cts, d)
+        got = [e._decrypt_value(np.asarray(q[i])) for i in range(len(xs))]
+        exp = [int(x) // d if d else 255 for x in xs]
+        assert got == exp, d
+
+
+def test_ge_carry_only(engine_u8):
+    """Carry-only comparison (log-depth status reduction)."""
+    e = engine_u8
+    xs = [0, 1, 200, 255, 17, 42]
+    ys = [0, 2, 200, 1, 18, 41]
+    cx = jnp.asarray(np.stack([np.asarray(e._encrypt_value(v)) for v in xs]))
+    cy = jnp.asarray(np.stack([np.asarray(e._encrypt_value(v)) for v in ys]))
+    ge = e.ops.ge(cx, cy)
+    ph = lwe.decrypt_phase(e.client_key, np.asarray(ge))
+    got = [int(v) % 4 for v in lwe.decode_msg(e.params, ph)]
+    assert got == [int(x >= y) for x, y in zip(xs, ys)]
+
+
+def test_launch_counts_pinned(engine_u8):
+    """Critical-path launch counts stay pinned: box blur rides the
+    plain-divisor reciprocal path (was 130 launches with encrypted
+    restoring division), chi-squared u8 the fused log-propagate."""
+    from helm_tpu.engines import radix
+
+    nl = read_verilog_file("benchmarks/netlists/box_blur_arith.v", True)
+    e = engine_u8
+    e.compile(nl)
+    ins = {f"p{i}": 10 * (i + 1) for i in range(6)}
+    w = e.encrypt_inputs(ins)
+    radix.LAUNCHES[0] = 0
+    out = e.decrypt_outputs(e.evaluate(w))
+    assert radix.LAUNCHES[0] <= 34, radix.LAUNCHES[0]
+    c = Circuit.from_netlist(nl)
+    exp = c.evaluate_arith(c.initialize_wire_map(nl.wire_set, ins, default=0), 8)
+    for k in out:
+        assert int(out[k]) == int(exp[k]), k
