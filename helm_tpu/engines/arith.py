@@ -246,6 +246,9 @@ class ArithEngine:
             if p0 != p1:
                 c = int(g.inputs[0] if p0 else g.inputs[1])
                 return ops.mul_plain_g(opnd(g.inputs[1 if p0 else 0]), c), None
+            if not p0 and g.inputs[0] == g.inputs[1]:  # squaring: symmetric
+                xx = opnd(g.inputs[0])
+                return ops.mul_g(xx, xx, square=True), None
             return ops.mul_g(opnd(g.inputs[0]), opnd(g.inputs[1])), None
         if t in (GateType.SHL, GateType.SHR):
             left = t == GateType.SHL

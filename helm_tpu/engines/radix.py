@@ -310,16 +310,27 @@ class RadixOps:
         return c
 
     # -- mul -----------------------------------------------------------
-    def mul_g(self, x, y):
+    def mul_g(self, x, y, square: bool = False):
         """Schoolbook + carry-save compression; all rounds fully batched.
 
         Request preambles are built with ONE gather + arithmetic op per
         round (index arrays over a term pool) rather than per-(i,j) slice
         ops — on the remote-dispatch TPU platform every eager jnp op is a
-        round trip, so op count per round matters as much as PBS count."""
+        round trip, so op count per round matters as much as PBS count.
+
+        square=True (y is x): symmetric pairs are bootstrapped ONCE and
+        their pool index listed twice in the compression columns —
+        ~47% fewer slots in the dominant partial-product round."""
         B, nb = x.shape[0], x.shape[1]
         n1 = self.params.n + 1
-        pairs = [(i, j) for i in range(nb) for j in range(nb) if i + j < nb]
+        if square:
+            pairs = [
+                (i, j) for i in range(nb) for j in range(i, nb) if i + j < nb
+            ]
+        else:
+            pairs = [
+                (i, j) for i in range(nb) for j in range(nb) if i + j < nb
+            ]
         hi_pairs = [(i, j) for (i, j) in pairs if i + j + 1 < nb]
 
         def pair_pre(ps):  # [len(ps)*B, n+1], pair-major
@@ -346,10 +357,11 @@ class RadixOps:
         )
         zpad = len(pairs) + len(hi_pairs)
         cols: list[list[int]] = [[] for _ in range(nb)]  # pool indices
+        mult = (lambda i, j: 2 if i != j else 1) if square else (lambda i, j: 1)
         for idx, (i, j) in enumerate(pairs):
-            cols[i + j].append(idx)
+            cols[i + j].extend([idx] * mult(i, j))
         for idx, (i, j) in enumerate(hi_pairs):
-            cols[i + j + 1].append(len(pairs) + idx)
+            cols[i + j + 1].extend([len(pairs) + idx] * mult(i, j))
         # compression tree: chunks of <=5 clean blocks sum to <=15
         while max(len(c) for c in cols) > 1:
             chunk_idx, chunk_col = [], []
@@ -631,8 +643,8 @@ class RadixOps:
     def add_scalar_block0(self, x, v: int):
         return _run(self.dsk, self.add_scalar_block0_g(x, v))
 
-    def mul(self, x, y):
-        return _run(self.dsk, self.mul_g(x, y))
+    def mul(self, x, y, square: bool = False):
+        return _run(self.dsk, self.mul_g(x, y, square=square))
 
     def mul_plain(self, x, c: int):
         return _run(self.dsk, self.mul_plain_g(x, c))

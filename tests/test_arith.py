@@ -453,3 +453,18 @@ def test_launch_counts_pinned(engine_u8):
     exp = c.evaluate_arith(c.initialize_wire_map(nl.wire_set, ins, default=0), 8)
     for k in out:
         assert int(out[k]) == int(exp[k]), k
+
+
+def test_square_symmetric_schoolbook(engine_u8):
+    """Squaring bootstraps each symmetric partial product once (pool
+    index listed twice in the compression columns) — fewer slots, same
+    result as the full schoolbook."""
+    e = engine_u8
+    rng = np.random.default_rng(2)
+    xs = rng.integers(0, 256, 16)
+    cts = jnp.asarray(
+        np.stack([np.asarray(e._encrypt_value(int(v))) for v in xs])
+    )
+    sq = e.ops.mul(cts, cts, square=True)
+    got = [e._decrypt_value(np.asarray(sq[i])) for i in range(16)]
+    assert got == [(int(x) * int(x)) % 256 for x in xs]
