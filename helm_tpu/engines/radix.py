@@ -216,6 +216,44 @@ def _propagate_g(tp: RadixTestPolys, z, with_carry=False):
     return (res, cs[:, nb - 1]) if with_carry else res
 
 
+def _prop_rounds(nb: int) -> int:
+    """Bootstrap rounds _propagate_g takes at width nb."""
+    if nb < 8:
+        return nb
+    o, iters = 1, 0
+    while 2 * o < nb:
+        o *= 2
+        iters += 1
+    return 1 + iters + 1 + 1  # status + scan + fused final + msgc
+
+
+def _sim_compress(cols_w: list[list[int]], limit: int, nb: int) -> int:
+    """Round count of _compress_g's loop on weights alone (the chunking
+    is deterministic host-side scheduling, so both endgames can be
+    costed exactly before spending any bootstraps)."""
+    rounds = 0
+    cw = [list(ws) for ws in cols_w]
+    while any(sum(ws) > limit for ws in cw):
+        rounds += 1
+        new: list[list[int]] = [[] for _ in range(nb)]
+        for c, ws in enumerate(cw):
+            if sum(ws) <= limit:
+                new[c].extend(ws)
+                continue
+            k = 0
+            while k < len(ws):
+                w, cnt = 0, 0
+                while k < len(ws) and w + ws[k] <= 5:
+                    w += ws[k]
+                    k += 1
+                    cnt += 1
+                new[c].append(1)
+                if not (cnt == 1 and w == 1) and c + 1 < nb:
+                    new[c + 1].append(1)
+        cw = new
+    return rounds
+
+
 _RTP_FIELDS = (
     "msg", "carry", "mul_lo", "mul_hi", "lobit", "hibit", "lobit2", "half",
     "status", "cmb", "cmbc", "msgc",
@@ -356,23 +394,58 @@ class RadixOps:
             ]
         )
         zpad = len(pairs) + len(hi_pairs)
-        cols: list[list[int]] = [[] for _ in range(nb)]  # pool indices
+        cols: list[list[tuple[int, int]]] = [[] for _ in range(nb)]
         mult = (lambda i, j: 2 if i != j else 1) if square else (lambda i, j: 1)
         for idx, (i, j) in enumerate(pairs):
-            cols[i + j].extend([idx] * mult(i, j))
+            cols[i + j].extend([(idx, 1)] * mult(i, j))
         for idx, (i, j) in enumerate(hi_pairs):
-            cols[i + j + 1].extend([len(pairs) + idx] * mult(i, j))
-        # compression tree: chunks of <=5 clean blocks sum to <=15
-        while max(len(c) for c in cols) > 1:
+            cols[i + j + 1].extend([(len(pairs) + idx, 1)] * mult(i, j))
+        return (yield from self._compress_g(pool, cols, zpad, B, n1))
+
+    def _compress_g(self, pool, cols, zpad, B, n1):
+        """Carry-save column compression to one CLEAN block per column.
+
+        cols[c] holds (pool_index, weight) entries; weight w means the
+        block's value is <= 3*w (clean blocks w=1, doubled blocks w=2).
+        Each round greedily packs chunks of total weight <= 5 per column
+        (chunk sums <= 15, inside the PBS domain), bootstraps msg+carry
+        for every chunk in ONE launch, and feeds carries one column up.
+        Rounds ~ log_2.5(max terms) — far cheaper than pairwise adds,
+        whose every tree level is a full carry propagate.
+
+        Endgame: compressing all the way to one entry makes the final
+        carries RIPPLE one column per round (~nb rounds); stopping at
+        column weight <= 2 (block sums <= 6, the propagate invariant)
+        and finishing with ONE log-depth carry propagate is often
+        cheaper. Scheduling is host-side and deterministic, so both
+        endgames are SIMULATED on the weights and the cheaper one runs
+        (u32 mul: 16 -> 11 rounds; a u32 doubling: 16 -> 6)."""
+        nb = len(cols)
+
+        def colw(terms):
+            return sum(w for _, w in terms)
+
+        r1 = _sim_compress([[w for _, w in t] for t in cols], 1, nb)
+        r2 = _sim_compress([[w for _, w in t] for t in cols], 2, nb)
+        prop_end = r2 + _prop_rounds(nb) < r1
+        limit = 2 if prop_end else 1
+
+        while any(colw(terms) > limit for terms in cols):
             chunk_idx, chunk_col = [], []
-            new_cols: list[list[int]] = [[] for _ in range(nb)]
+            new_cols: list[list[tuple[int, int]]] = [[] for _ in range(nb)]
             for c, terms in enumerate(cols):
+                if colw(terms) <= limit:
+                    new_cols[c].extend(terms)
+                    continue
                 k = 0
                 while k < len(terms):
-                    chunk = terms[k : k + 5]
-                    k += 5
-                    if len(chunk) == 1:
-                        new_cols[c].append(chunk[0])
+                    chunk, w = [], 0
+                    while k < len(terms) and w + terms[k][1] <= 5:
+                        chunk.append(terms[k][0])
+                        w += terms[k][1]
+                        k += 1
+                    if len(chunk) == 1 and w == 1:
+                        new_cols[c].append((chunk[0], 1))
                     else:
                         chunk_idx.append(chunk + [zpad] * (5 - len(chunk)))
                         chunk_col.append(c)
@@ -395,53 +468,56 @@ class RadixOps:
                 )
                 zpad = base + 2 * C
                 for ci, c in enumerate(chunk_col):
-                    new_cols[c].append(base + ci)
+                    new_cols[c].append((base + ci, 1))
                     if c + 1 < nb:
-                        new_cols[c + 1].append(base + C + ci)
+                        new_cols[c + 1].append((base + C + ci, 1))
             cols = new_cols
+        if prop_end:
+            sel1 = jnp.asarray(
+                [t[0][0] if t else zpad for t in cols], dtype=jnp.int32
+            )
+            sel2 = jnp.asarray(
+                [t[1][0] if len(t) > 1 else zpad for t in cols],
+                dtype=jnp.int32,
+            )
+            z = jnp.swapaxes(pool[sel1] + pool[sel2], 0, 1)  # [B, nb, n+1]
+            return (yield from _propagate_g(self.tp, z))
         sel = jnp.asarray(
-            [c[0] if c else zpad for c in cols], dtype=jnp.int32
+            [terms[0][0] if terms else zpad for terms in cols],
+            dtype=jnp.int32,
         )
         return jnp.swapaxes(pool[sel], 0, 1)  # [B, nb, n+1]
 
     def mul_plain_g(self, x, c: int):
-        """x * plaintext c via binary expansion: one plain shift per set
-        bit of c (even shifts are free block relabels, odd ones a single
-        bit-shift round) + a log-depth tree of batched adds. Counterpart
-        of the reference's ct (x) pt mul (gates.rs:306-702 *_block_plain
-        variants) — power-of-two constants cost ZERO bootstraps here.
-        Truncates mod 2^width like the encrypted schoolbook."""
+        """x * plaintext c via binary expansion feeding the carry-save
+        compressor directly: even shifts contribute x's blocks relabeled
+        (free), odd shifts contribute DOUBLED blocks (2*ct, linear,
+        weight 2 in the compressor) — zero propagates anywhere; total
+        rounds ~ log_2.5(popcount). Counterpart of the reference's
+        ct (x) pt mul (gates.rs:306-702 _plain variants) — power-of-two
+        constants cost ZERO bootstraps here. Truncates mod 2^width like
+        the encrypted schoolbook."""
         p = self.params
         B, nb = x.shape[0], x.shape[1]
+        n1 = p.n + 1
         width = 2 * nb
         c &= (1 << width) - 1
         if c == 0:
             return trivial_blocks(p, 0, nb, B)
-
-        def relabel(blocks: int):  # x << 2*blocks: free, no bootstrap
-            if not blocks:
-                return x
-            zero = jnp.zeros((B, blocks, p.n + 1), jnp.uint32)
-            return jnp.concatenate([zero, x[:, : nb - blocks]], axis=1)
-
-        even = [k for k in range(0, width, 2) if (c >> k) & 1]
-        odd = [k for k in range(1, width, 2) if (c >> k) & 1]
-        terms = [relabel(k // 2) for k in even]
-        if odd:  # all odd shifts share ONE batched 2*x propagate
-            z = jnp.concatenate([2 * relabel(k // 2) for k in odd])
-            res = yield from _propagate_g(self.tp, z)
-            terms += [res[i * B : (i + 1) * B] for i in range(len(odd))]
-        # pairwise add tree, every round ONE batched propagate (two clean
-        # operands sum to <= 6 per block — within _propagate's invariant)
-        while len(terms) > 1:
-            np_ = len(terms) // 2
-            rest = [terms[-1]] if len(terms) % 2 else []
-            z = jnp.concatenate(
-                [terms[2 * i] + terms[2 * i + 1] for i in range(np_)]
-            )
-            res = yield from _propagate_g(self.tp, z)
-            terms = [res[i * B : (i + 1) * B] for i in range(np_)] + rest
-        return terms[0]
+        # pool: x's blocks (idx i), doubled blocks (idx nb+i), zero pad
+        xt = jnp.swapaxes(x, 0, 1)  # [nb, B, n+1]
+        pool = jnp.concatenate(
+            [xt, 2 * xt, jnp.zeros((1, B, n1), jnp.uint32)]
+        )
+        zpad = 2 * nb
+        cols: list[list[tuple[int, int]]] = [[] for _ in range(nb)]
+        for k in range(width):
+            if not (c >> k) & 1:
+                continue
+            s, bit = divmod(k, 2)
+            for j in range(s, nb):  # term block j = (2x if odd else x)[j-s]
+                cols[j].append((nb + (j - s), 2) if bit else ((j - s), 1))
+        return (yield from self._compress_g(pool, cols, zpad, B, n1))
 
     # -- division ------------------------------------------------------
     def div_g(self, x, y):
