@@ -694,7 +694,13 @@ class RadixOps:
         return x
 
     def _mux_blocks_g(self, sel, a, b):
-        """per-block sel ? a : b via two bivariate products + add."""
+        """per-block sel ? a : b via two bivariate products + linear add.
+
+        One PBS round: sel*a_i and (1-sel)*b_i are fresh bootstraps and
+        one of them is an encryption of 0, so the sum's message is the
+        selected block (< 4 — no carries, nothing to propagate; the 2x
+        fresh variance only nudges the next bivariate pack's input
+        budget from 17 to 18 sigma^2)."""
         p = self.params
         B, nb = a.shape[0], a.shape[1]
         n1 = p.n + 1
@@ -703,8 +709,7 @@ class RadixOps:
         pre1 = jnp.swapaxes(4 * sel[:, None] + a, 0, 1).reshape(B * nb, n1)
         pre2 = jnp.swapaxes(4 * not_sel[:, None] + b, 0, 1).reshape(B * nb, n1)
         t1, t2 = yield [(pre1, self.tp.mul_lo), (pre2, self.tp.mul_lo)]
-        z = jnp.swapaxes((t1 + t2).reshape(nb, B, n1), 0, 1)
-        return (yield from _propagate_g(self.tp, z))
+        return jnp.swapaxes((t1 + t2).reshape(nb, B, n1), 0, 1)
 
     # -- synchronous single-op drivers ----------------------------------
     def add(self, x, y, with_carry: bool = False):
