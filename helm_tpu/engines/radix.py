@@ -540,22 +540,40 @@ class RadixOps:
         zero_blk = jnp.zeros((B, 1, p.n + 1), jnp.uint32)
         y_ext = jnp.concatenate([y, zero_blk], axis=1)
         r = jnp.zeros((B, nbe, p.n + 1), jnp.uint32)
+        gy = None  # conditional subtrahend, DEFERRED into the next double
         qbits = [None] * bits
         for k in reversed(range(bits)):
-            # r = 2r + x_bit_k (values <= 7 before propagate)
-            z = 2 * r
-            z = z.at[:, 0].add(xbit[k])
+            if gy is None:
+                # r = 2r + x_bit_k (values <= 7 before propagate)
+                z = 2 * r
+                z = z.at[:, 0].add(xbit[k])
+            else:
+                # fold the pending r -= ge*y into the doubling: z =
+                # 2*(r + ~gy + 1) + b, blocks <= 15 (inside the PBS
+                # domain) — one msg/carry split brings it back under the
+                # propagate invariant, replacing a whole extra propagate
+                neg = jnp.uint32(0) - gy
+                neg = neg.at[:, :, p.n].add(jnp.uint32(3 * p.delta))
+                neg = neg.at[:, 0, p.n].add(jnp.uint32(p.delta))
+                z = 2 * (r + neg)
+                z = z.at[:, 0].add(xbit[k])
+                flat = z.reshape(B * nbe, p.n + 1)
+                m, cr = yield [(flat, self.tp.msg), (flat, self.tp.carry)]
+                m = m.reshape(B, nbe, p.n + 1)
+                cr = cr.reshape(B, nbe, p.n + 1)
+                z = m.at[:, 1:].add(cr[:, : nbe - 1])  # sums <= 6
             r = yield from _propagate_g(self.tp, z)
             # ge = (r >= y), carry-only log-depth comparison
             ge = yield from self.ge_g(r, y_ext)
-            # r <- r - ge*y: gy blocks via bivariate (4*ge + y_i)
-            gy_pre = jnp.swapaxes(4 * ge[:, None] + y_ext, 0, 1).reshape(
-                B * nbe, p.n + 1
-            )
-            (gy,) = yield [(gy_pre, self.tp.mul_lo)]
-            gy = jnp.swapaxes(gy.reshape(nbe, B, p.n + 1), 0, 1)
-            r = yield from self.sub_g(r, gy)
+            # gy = ge*y via bivariate (4*ge + y_i); subtraction deferred
+            # (the last iteration's never happens — r is discarded)
             qbits[k] = ge
+            if k:
+                gy_pre = jnp.swapaxes(4 * ge[:, None] + y_ext, 0, 1).reshape(
+                    B * nbe, p.n + 1
+                )
+                (gy,) = yield [(gy_pre, self.tp.mul_lo)]
+                gy = jnp.swapaxes(gy.reshape(nbe, B, p.n + 1), 0, 1)
         blocks = []
         for i in range(nb):
             blk = qbits[2 * i] + 2 * qbits[2 * i + 1]
