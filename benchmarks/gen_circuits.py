@@ -900,12 +900,16 @@ def random_arith(name: str, n_inputs: int, n_gates: int, seed: int) -> str:
                 if pos
                 else f"  mult g{g}({a}, {c}, {out});"
             )
-        elif r < 0.85:
+        elif r < 0.78:
             kind = "shl" if rnd.random() < 0.5 else "shr"
             amt = rnd.randrange(11)  # incl. >= width at u8
             L.append(f"  {kind} g{g}({a}, {amt}, {out});")
-        elif r < 0.92:
+        elif r < 0.84:
             L.append(f"  copy g{g}({a}, {out});")
+        elif r < 0.88:
+            L.append(f"  mult g{g}({a}, {a}, {out});")  # squaring path
+        elif r < 0.94:
+            L.append(f"  div g{g}({a}, {rnd.randrange(1, 12)}, {out});")
         else:
             L.append(f"  div g{g}({a}, {b}, {out});")
         wires.append(out)

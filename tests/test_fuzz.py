@@ -37,21 +37,29 @@ def test_random_circuit_encrypted_matches_oracle(fuzz_engine, seed):
 from gen_circuits import random_arith  # noqa: E402
 
 
-@pytest.mark.parametrize("seed", [11, 12, 13])
-def test_random_arith_dag_matches_oracle(seed):
-    """Random arith DAGs (mixed op types, plain operands, shifts past the
-    width, copies, div) through the dataflow scheduler == oracle."""
+@pytest.mark.parametrize(
+    "seed,typ",
+    [(11, "u8"), (12, "u8"), (13, "u8"), (14, "u16"), (15, "u16"), (16, "u32")],
+)
+def test_random_arith_dag_matches_oracle(seed, typ):
+    """Random arith DAGs (mixed op types, plain operands incl. plain
+    divisors, squarings, shifts past the width, copies, encrypted div)
+    through the dataflow scheduler == oracle. u8 exercises the ripple
+    carry paths, u16/u32 the log-depth propagate, the carry-only compare
+    and the adaptive compressor endgame."""
     from helm_tpu.engines.arith import ArithEngine
 
-    src = random_arith(f"fa{seed}", n_inputs=5, n_gates=12, seed=seed)
+    width = {"u8": 8, "u16": 16, "u32": 32}[typ]
+    n_gates = 12 if typ == "u8" else 10
+    src = random_arith(f"fa{seed}", n_inputs=5, n_gates=n_gates, seed=seed)
     nl = parse_verilog(src, is_arith=True)
     c = Circuit.from_netlist(parse_verilog(src, is_arith=True))
-    e = ArithEngine("u8", params=P.TEST_PARAMS_ARITH, seed=seed)
+    e = ArithEngine(typ, params=P.TEST_PARAMS_ARITH, seed=seed)
     e.compile(nl)
     rng = np.random.default_rng(seed)
-    inputs = {f"x{i}": int(rng.integers(0, 256)) for i in range(5)}
+    inputs = {f"x{i}": int(rng.integers(0, 2**width)) for i in range(5)}
     exp = c.evaluate_arith(
-        c.initialize_wire_map(nl.wire_set, inputs, default=0), 8
+        c.initialize_wire_map(nl.wire_set, inputs, default=0), width
     )
     out = e.decrypt_outputs(e.evaluate(e.encrypt_inputs(inputs)))
     for w, v in out.items():
