@@ -99,6 +99,13 @@ def build_argparser() -> argparse.ArgumentParser:
         help="capture a jax.profiler trace of the evaluation into DIR",
     )
     ap.add_argument(
+        "--keys",
+        metavar="DIR",
+        help="persist keys: load client/server keys for the parameter set "
+        "from DIR when present, else generate and save them there "
+        "(the reference regenerates keys every run)",
+    )
+    ap.add_argument(
         "--mesh",
         type=int,
         default=0,
@@ -152,6 +159,17 @@ def main(argv=None) -> int:
     return _run_boolean(args, netlist)
 
 
+def _maybe_load_keys(args, params):
+    """--keys DIR: load-or-generate persisted keys (fhe/keys.py)."""
+    if not args.keys:
+        return None
+    from .fhe.keys import load_or_generate
+
+    ck, sk = load_or_generate(args.keys, params, args.seed)
+    print(f"[✓] Keys ({params.name}) from {args.keys}.")
+    return ck, sk
+
+
 def _run_boolean(args, netlist) -> int:
     from . import params as P
     from .engines.boolean import BooleanEngine
@@ -189,6 +207,9 @@ def _run_boolean(args, netlist) -> int:
         seed=args.seed,
         backend=args.backend,
         fuse_levels=args.fuse_levels,
+        keys=_maybe_load_keys(
+            args, params or (P.GATES_PARAMS if mode == "gates" else P.LUT_PARAMS)
+        ),
     )
     print(f"KeyGen done in {time.time() - start} seconds.")
     if args.mesh:
@@ -279,7 +300,12 @@ def _run_arith(args, netlist) -> int:
         from .engines import radix
 
         radix.BACKEND[0] = "mxu"
-    engine = ArithEngine(args.arithmetic, params=params, seed=args.seed)
+    engine = ArithEngine(
+        args.arithmetic,
+        params=params,
+        seed=args.seed,
+        keys=_maybe_load_keys(args, params or P.ARITH_PARAMS),
+    )
     print(f"KeyGen done in {time.time() - start} seconds.")
     if args.mesh:
         from .parallel.mesh import batch_sharding, make_gate_mesh, replicated

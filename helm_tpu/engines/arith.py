@@ -34,15 +34,24 @@ from .radix import WIDTH_BLOCKS, RadixOps, trivial_blocks
 
 class ArithEngine:
     def __init__(
-        self, ptxt_type: str, params: TfheParams | None = None, seed=None
+        self,
+        ptxt_type: str,
+        params: TfheParams | None = None,
+        seed=None,
+        keys=None,
     ):
         assert ptxt_type in WIDTH_BLOCKS, ptxt_type
         self.ptxt_type = ptxt_type
         self.nb = WIDTH_BLOCKS[ptxt_type]
         self.width = 2 * self.nb
         self.params = params or ARITH_PARAMS
-        self.client_key = lwe.keygen(self.params, seed)
-        self.dsk = pbs_jnp.DeviceServerKey.from_host(gen_server_key(self.client_key))
+        if keys is not None:  # preloaded (client, server) keys (fhe/keys.py)
+            self.client_key, sk = keys
+            assert self.client_key.params.name == self.params.name
+        else:
+            self.client_key = lwe.keygen(self.params, seed)
+            sk = gen_server_key(self.client_key)
+        self.dsk = pbs_jnp.DeviceServerKey.from_host(sk)
         from .radix import BACKEND
 
         if BACKEND[0] == "mxu":

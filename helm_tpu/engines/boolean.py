@@ -206,6 +206,7 @@ class BooleanEngine:
         backend: str = "jnp",
         g_tile: int | None = None,
         fuse_levels: bool = False,
+        keys=None,
     ):
         assert mode in ("gates", "lut")
         assert backend in ("jnp", "pallas", "mxu")
@@ -213,8 +214,13 @@ class BooleanEngine:
         self.backend = backend
         self.mode = mode
         self.params = params or (GATES_PARAMS if mode == "gates" else LUT_PARAMS)
-        self.client_key = lwe.keygen(self.params, seed)
-        self.dsk = pbs_jnp.DeviceServerKey.from_host(gen_server_key(self.client_key))
+        if keys is not None:  # preloaded (client, server) keys (fhe/keys.py)
+            self.client_key, sk = keys
+            assert self.client_key.params.name == self.params.name
+        else:
+            self.client_key = lwe.keygen(self.params, seed)
+            sk = gen_server_key(self.client_key)
+        self.dsk = pbs_jnp.DeviceServerKey.from_host(sk)
         self.g_tile = g_tile
         if backend == "mxu":
             # lay the BSK out for the MXU kernels ONCE (device-side, jitted);

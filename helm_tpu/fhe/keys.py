@@ -49,3 +49,24 @@ def load_server_key(path: str) -> ServerKey:
     assert str(z["kind"]) == "server", "not a server key file"
     params = ALL_PARAMS[str(z["params"])]
     return ServerKey(params, z["bsk_ntt"], z["bsk_ntt_sh"], z["ksk_limbs"])
+
+
+def load_or_generate(dir_path: str, params, seed=None):
+    """Cache-style persistence: load (client, server) keys for `params`
+    from dir_path when present, else generate and save them there.
+    Backs the CLI's --keys flag."""
+    import os
+
+    from .lwe import keygen
+    from .server_key import gen_server_key
+
+    os.makedirs(dir_path, exist_ok=True)
+    ckp = os.path.join(dir_path, f"ck_{params.name}.npz")
+    skp = os.path.join(dir_path, f"sk_{params.name}.npz")
+    if os.path.exists(ckp) and os.path.exists(skp):
+        return load_client_key(ckp), load_server_key(skp)
+    ck = keygen(params, seed)
+    sk = gen_server_key(ck)
+    save_client_key(ckp, ck)
+    save_server_key(skp, sk)
+    return ck, sk

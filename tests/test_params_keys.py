@@ -105,3 +105,29 @@ def test_key_serialization_roundtrip(tmp_path):
         )
     )
     assert not lwe.decode_bool(lwe.decrypt_phase(ck, out))[0]  # T and F = F
+
+
+def test_load_or_generate_roundtrip(tmp_path):
+    """--keys backing store: second call loads the same keys; an engine
+    built on loaded keys decrypts what the original encrypted."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from helm_tpu import params as P
+    from helm_tpu.engines.boolean import BooleanEngine
+    from helm_tpu.fhe.keys import load_or_generate
+
+    k1 = load_or_generate(str(tmp_path), P.TEST_PARAMS, seed=3)
+    k2 = load_or_generate(str(tmp_path), P.TEST_PARAMS, seed=4)  # loads
+    assert np.array_equal(k1[0].lwe_key, k2[0].lwe_key)
+    assert np.array_equal(k1[1].bsk_ntt, k2[1].bsk_ntt)
+    e1 = BooleanEngine(mode="gates", params=P.TEST_PARAMS, keys=k1)
+    e2 = BooleanEngine(mode="gates", params=P.TEST_PARAMS, keys=k2)
+    from helm_tpu.circuit.verilog import read_verilog_file
+
+    nl = read_verilog_file("benchmarks/netlists/2-bit-adder.v")
+    ins = {"a[0]": True, "a[1]": True, "b[0]": False, "b[1]": True, "cin": True}
+    e1.compile(nl)
+    e2.compile(nl)
+    w = e1.evaluate(e1.encrypt_inputs(ins))
+    assert e2.decrypt_outputs(w) == e1.decrypt_outputs(w)
