@@ -18,11 +18,13 @@ def test_production_failure_rates():
     # variance multiplier)
     assert P.GATES_TPU_MB2.pbs_failure_log2(linear_growth=8.0) < -30
     assert P.GATES_TPU_MB4.pbs_failure_log2(linear_growth=8.0) < -30
-    # multi-bit arith/LUT sets (fs-kernel path): bivariate 4x+y packing
-    # gives linear growth 17; same client keys/sigmas as the single-bit
-    # sets, so the security gaps are unchanged
-    assert P.ARITH_TPU_MB2.pbs_failure_log2(linear_growth=17.0) < -40
-    assert P.LUT_TPU_MB2.pbs_failure_log2(linear_growth=17.0) < -40
+    # multi-bit arith/LUT sets (fs-kernel path): worst pack is the
+    # bivariate 4*sel + (mux output = sum of two fresh bootstraps) in the
+    # encrypted-shift ladder -> linear growth 18 (4^2 + 2); same client
+    # keys/sigmas as the single-bit sets, so security gaps are unchanged
+    assert P.ARITH_TPU_MB2.pbs_failure_log2(linear_growth=18.0) < -40
+    assert P.LUT_TPU_MB2.pbs_failure_log2(linear_growth=18.0) < -40
+    assert P.ARITH_PARAMS.pbs_failure_log2(linear_growth=18.0) < -40
     for mb, sb in ((P.ARITH_TPU_MB2, P.ARITH_PARAMS), (P.LUT_TPU_MB2, P.LUT_PARAMS)):
         assert (mb.n, mb.N, mb.lwe_noise_std, mb.glwe_noise_std) == (
             sb.n, sb.N, sb.lwe_noise_std, sb.glwe_noise_std
