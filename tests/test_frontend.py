@@ -293,3 +293,21 @@ def test_s15850_like_sequential_oracle():
     assert all(isinstance(v, bool) for v in seen[-1])
     # state must actually evolve across cycles for a nontrivial circuit
     assert len(set(seen)) > 1
+
+
+def test_examples_run():
+    """The library-API walkthrough (examples/library_api.py) stays green."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    r = subprocess.run(
+        [sys.executable, str(repo / "examples" / "library_api.py")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=repo,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "all examples OK" in r.stdout
