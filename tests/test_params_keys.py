@@ -133,3 +133,36 @@ def test_load_or_generate_roundtrip(tmp_path):
     e2.compile(nl)
     w = e1.evaluate(e1.encrypt_inputs(ins))
     assert e2.decrypt_outputs(w) == e1.decrypt_outputs(w)
+
+
+def test_empirical_pbs_noise_matches_model():
+    """Measured PBS output noise at the production gates set agrees with
+    the analytical variance model behind every pbs_failure_log2 pin
+    (observed ratio ~1.03 at 128 samples)."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    p = P.GATES_PARAMS
+    ck = lwe.keygen(p, seed=42)
+    dsk = pbs_jnp.DeviceServerKey.from_host(server_key.gen_server_key(ck))
+    rng = np.random.default_rng(0)
+    G = 128
+    b1 = rng.integers(0, 2, G).astype(bool)
+    b2 = rng.integers(0, 2, G).astype(bool)
+    lin = (
+        lwe.encrypt(ck, lwe.encode_bool(b1))
+        + lwe.encrypt(ck, lwe.encode_bool(b2))
+    ).astype(np.uint32)
+    lin[:, p.n] += np.uint32((-(1 << 29)) % (1 << 32))
+    tv = jnp.asarray(pbs_jnp.gates_test_poly(p))
+    out = np.asarray(jax.jit(pbs_jnp.bootstrap)(dsk, jnp.asarray(lin), tv))
+    assert (lwe.decode_bool(lwe.decrypt_phase(ck, out)) == (b1 & b2)).all()
+    ph = lwe.decrypt_phase(ck, out).astype(np.int64)
+    exp = np.where(b1 & b2, 1 << 29, (-(1 << 29)) % (1 << 32)).astype(np.int64)
+    err = ((ph - exp + (1 << 31)) % (1 << 32)) - (1 << 31)
+    model = math.sqrt(p.var_pbs_out() + p.var_ks())
+    ratio = err.std() / model
+    assert 0.6 < ratio < 1.7, ratio
