@@ -51,4 +51,9 @@ run aes-b4 7200 env PSET=GATES_TPU_MB2 BACKEND=mxu BATCH=4 python tools/aes_tpu_
 # 7. chi-squared batched serving
 run chi2-mxu-b8 5400 env BACKEND=mxu PARAMS=ARITH_TPU_MB2 BATCH=8 python tools/chi2_tpu_bench.py
 
+# 8. c880 serving at batch 64 (approaches the per-chip PBS floor:
+#    383 gates / 3431 bs/s ~ 0.112 s/vector)
+run c880-b64 7200 env PSET=GATES_TPU_MB2 BACKEND=mxu FUSE=1 BATCH=64 \
+  python tools/c880_tpu_bench.py
+
 log "=== tpu_queue complete ==="
