@@ -1,0 +1,179 @@
+"""Batched serving daemon: watch a directory, evaluate, write outputs.
+
+The production shape of this framework (DESIGN.md §5): many independent
+input vectors stream through ONE compiled circuit program whose every PBS
+launch is `batch`x wider, amortizing the per-launch blind-rotation latency
+floor. This daemon packages it as a service:
+
+    python -m helm_tpu.serve --verilog circuit.v --watch in/ --outdir out/ \
+        [--arithmetic u32] [--params gates_tpu_mb2] [--backend mxu] \
+        [--keys keysdir] [--batch 16] [--linger 0.5] [--max-batches N]
+
+Each `*.csv` file appearing in the watch directory is one input-wire
+vector (the reference's input CSV format). Vectors are collected into
+fixed-size batches (padded with repeats of the first vector so the jitted
+program compiles ONCE per batch shape), evaluated, and each vector's
+decrypted outputs are written to `<outdir>/<name>.out.csv`; processed
+inputs move to `<watch>/done/`. `--max-batches` exits after N batches
+(one-shot / test mode). The reference has no serving story at all — its
+CLI does one vector per process run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        "helm-serve", description="helm_tpu batched serving daemon"
+    )
+    ap.add_argument("-v", "--verilog", required=True)
+    ap.add_argument("--watch", required=True, metavar="DIR")
+    ap.add_argument("--outdir", required=True, metavar="DIR")
+    ap.add_argument(
+        "-a", "--arithmetic", choices=["u8", "u16", "u32", "u64", "u128"]
+    )
+    ap.add_argument("--params", metavar="NAME")
+    ap.add_argument("--test-params", action="store_true")
+    ap.add_argument("--backend", choices=["jnp", "pallas", "mxu"], default="jnp")
+    ap.add_argument("--keys", metavar="DIR", help="persist keys (fhe/keys.py)")
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument(
+        "--batch", type=int, default=8,
+        help="vectors per evaluation (fixed shape -> one compile)",
+    )
+    ap.add_argument(
+        "--linger", type=float, default=0.5,
+        help="seconds to wait for more inputs before evaluating a partial batch",
+    )
+    ap.add_argument(
+        "--poll", type=float, default=0.2, help="watch-directory poll interval"
+    )
+    ap.add_argument(
+        "--max-batches", type=int, default=0,
+        help="exit after N batches (0 = run forever)",
+    )
+    ap.add_argument("--fuse-levels", action="store_true")
+    return ap
+
+
+def _make_engine(args, netlist):
+    from . import params as P
+
+    if args.params:
+        params = P.ALL_PARAMS[args.params]
+    elif args.test_params:
+        if args.arithmetic:
+            params = P.TEST_PARAMS_ARITH
+        else:
+            params = P.TEST_PARAMS_LUT if netlist.has_luts else P.TEST_PARAMS
+    else:
+        params = None
+
+    keys = None
+    if args.keys:
+        from .fhe.keys import load_or_generate
+
+        if params is None:
+            if args.arithmetic:
+                params = P.ARITH_PARAMS
+            else:
+                params = P.LUT_PARAMS if netlist.has_luts else P.GATES_PARAMS
+        keys = load_or_generate(args.keys, params, args.seed)
+
+    if args.arithmetic:
+        from .engines import radix
+        from .engines.arith import ArithEngine
+
+        if args.backend == "mxu":
+            radix.BACKEND[0] = "mxu"
+        return ArithEngine(
+            args.arithmetic, params=params, seed=args.seed, keys=keys
+        )
+    from .engines.boolean import BooleanEngine
+
+    return BooleanEngine(
+        mode="lut" if netlist.has_luts else "gates",
+        params=params,
+        seed=args.seed,
+        backend=args.backend,
+        fuse_levels=args.fuse_levels,
+        keys=keys,
+    )
+
+
+def _collect(watch: str, batch: int, linger: float, poll: float) -> list[str]:
+    """Block until at least one input file exists; then keep collecting
+    until `batch` files or `linger` seconds of quiet."""
+    files: list[str] = []
+    deadline = None
+    while True:
+        fresh = sorted(
+            f for f in os.listdir(watch)
+            if f.endswith(".csv") and os.path.isfile(os.path.join(watch, f))
+        )
+        files = fresh[:batch]
+        if files:
+            if len(files) >= batch:
+                return files
+            if deadline is None:
+                deadline = time.time() + linger
+            elif time.time() >= deadline:
+                return files
+        time.sleep(poll)
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    from .circuit.verilog import read_verilog_file
+    from .io import csv_io, native_loader
+
+    ptxt = args.arithmetic or "bool"
+    netlist = read_verilog_file(args.verilog, args.arithmetic is not None)
+    os.makedirs(args.outdir, exist_ok=True)
+    done_dir = os.path.join(args.watch, "done")
+    os.makedirs(done_dir, exist_ok=True)
+
+    t0 = time.time()
+    engine = _make_engine(args, netlist)
+    engine.compile(netlist)
+    print(f"[serve] engine ready in {time.time() - t0:.1f}s "
+          f"(batch={args.batch}, watching {args.watch})", flush=True)
+
+    batches = 0
+    while True:
+        names = _collect(args.watch, args.batch, args.linger, args.poll)
+        vecs = [
+            native_loader.read_input_wires(os.path.join(args.watch, f), ptxt)
+            for f in names
+        ]
+        # pad to the fixed batch shape so the compiled program is reused
+        padded = vecs + [vecs[0]] * (args.batch - len(vecs))
+        t0 = time.time()
+        outs = engine.decrypt_outputs(engine.evaluate(engine.encrypt_inputs(padded)))
+        dt = time.time() - t0
+        for name, out in zip(names, outs):
+            dst = os.path.join(
+                args.outdir, os.path.splitext(name)[0] + ".out.csv"
+            )
+            csv_io.write_output_wires(dst, out)
+            shutil.move(
+                os.path.join(args.watch, name), os.path.join(done_dir, name)
+            )
+        print(
+            f"[serve] batch {batches}: {len(names)} vectors in {dt:.3f}s "
+            f"({dt / len(names):.3f}s/vector)",
+            flush=True,
+        )
+        batches += 1
+        if args.max_batches and batches >= args.max_batches:
+            return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
