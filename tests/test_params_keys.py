@@ -10,8 +10,8 @@ from helm_tpu.fhe import keys, lwe, pbs_jnp, server_key
 def test_production_failure_rates():
     # XOR doubles the noise (worst boolean combo): growth 8 = (2x std)^2 * 2 ops
     assert P.GATES_PARAMS.pbs_failure_log2(linear_growth=8.0) < -30
-    # LUT packing multiplies by up to 4 (3-input shift): growth 16
-    assert P.LUT_PARAMS.pbs_failure_log2(linear_growth=16.0) < -30
+    # LUT packing 4a+2b+c (3-input): growth 16+4+1 = 21
+    assert P.LUT_PARAMS.pbs_failure_log2(linear_growth=21.0) < -30
     # arith linear combos up to 5 clean blocks
     assert P.ARITH_PARAMS.pbs_failure_log2(linear_growth=25.0) < -25
     # multi-bit sets under the grouping-aware model ((3^g-1)/2g per-step
@@ -23,7 +23,8 @@ def test_production_failure_rates():
     # encrypted-shift ladder -> linear growth 18 (4^2 + 2); same client
     # keys/sigmas as the single-bit sets, so security gaps are unchanged
     assert P.ARITH_TPU_MB2.pbs_failure_log2(linear_growth=18.0) < -40
-    assert P.LUT_TPU_MB2.pbs_failure_log2(linear_growth=18.0) < -40
+    # the LUT set additionally sees the 3-input pack (growth 21)
+    assert P.LUT_TPU_MB2.pbs_failure_log2(linear_growth=21.0) < -40
     assert P.ARITH_PARAMS.pbs_failure_log2(linear_growth=18.0) < -40
     for mb, sb in ((P.ARITH_TPU_MB2, P.ARITH_PARAMS), (P.LUT_TPU_MB2, P.LUT_PARAMS)):
         assert (mb.n, mb.N, mb.lwe_noise_std, mb.glwe_noise_std) == (
@@ -43,10 +44,10 @@ def test_security_gaps_documented():
 
 def test_128bit_family_noise_budget():
     # the hardened sets must keep per-PBS failure low at their worst-case
-    # linear growth (XOR = 8, LUT/arith bivariate packing = 17)
+    # linear growth (XOR = 8, 3-input LUT pack = 21, arith mux-bivariate = 18)
     assert P.GATES_128_MB2.pbs_failure_log2(linear_growth=8.0) < -60
-    assert P.LUT_128_MB2.pbs_failure_log2(linear_growth=17.0) < -35
-    assert P.ARITH_128_MB2.pbs_failure_log2(linear_growth=17.0) < -30
+    assert P.LUT_128_MB2.pbs_failure_log2(linear_growth=21.0) < -30
+    assert P.ARITH_128_MB2.pbs_failure_log2(linear_growth=18.0) < -30
 
 
 def test_concrete_security_estimates():
