@@ -114,9 +114,19 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     ap.add_argument(
         "--fuse-levels",
-        action="store_true",
-        help="evaluate all levels in one jitted lax.scan launch (latency "
-        "mode for narrow/deep circuits; gates and LUT modes)",
+        action="store_const",
+        const=True,
+        default=None,
+        help="force all levels into one jitted lax.scan launch (latency "
+        "mode; gates and LUT modes). Default: auto-enabled for "
+        "narrow/deep circuits",
+    )
+    ap.add_argument(
+        "--no-fuse-levels",
+        dest="fuse_levels",
+        action="store_const",
+        const=False,
+        help="force per-level launches",
     )
     ap.add_argument(
         "--multihost",

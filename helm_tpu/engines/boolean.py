@@ -205,9 +205,11 @@ class BooleanEngine:
         seed=None,
         backend: str = "jnp",
         g_tile: int | None = None,
-        fuse_levels: bool = False,
+        fuse_levels: bool | None = None,
         keys=None,
     ):
+        # fuse_levels: True/False force; None = auto-decide at compile()
+        # from the level profile (narrow/deep circuits fuse)
         assert mode in ("gates", "lut")
         assert backend in ("jnp", "pallas", "mxu")
         self.fuse_levels = fuse_levels
@@ -290,7 +292,16 @@ class BooleanEngine:
             }
             for lp in self.plan.levels
         ]
-        self._scan_levels = self._stack_levels() if self.fuse_levels else None
+        fuse = self.fuse_levels
+        if fuse is None:
+            # auto: fusing wins when per-level dispatch dominates — many
+            # levels, small padded width, bounded pad waste (c880-like:
+            # 2.1 s -> 0.815 s on-chip; see PERFORMANCE.md)
+            lps = self.plan.levels
+            S = max(max(lp.slot_in.shape[0] for lp in lps), 1)
+            real = max(sum(lp.slot_in.shape[0] for lp in lps), 1)
+            fuse = len(lps) >= 8 and S <= 256 and S * len(lps) <= 3 * real
+        self._scan_levels = self._stack_levels() if fuse else None
 
     def _stack_levels(self):
         """Pad every level to uniform widths and stack for lax.scan."""

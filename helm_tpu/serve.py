@@ -58,7 +58,14 @@ def build_argparser() -> argparse.ArgumentParser:
         "--max-batches", type=int, default=0,
         help="exit after N batches (0 = run forever)",
     )
-    ap.add_argument("--fuse-levels", action="store_true")
+    ap.add_argument(
+        "--fuse-levels", action="store_const", const=True, default=None,
+        help="force level fusion (default: auto for narrow/deep circuits)",
+    )
+    ap.add_argument(
+        "--no-fuse-levels", dest="fuse_levels", action="store_const",
+        const=False,
+    )
     return ap
 
 

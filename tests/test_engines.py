@@ -678,3 +678,33 @@ def test_batched_serving_sequential(gates_engine):
         for bi in range(2):
             for w, v in states[bi].items():
                 assert outs[bi][w] == v, (cyc, bi, w)
+
+
+def test_fused_levels_sequential_matches_oracle():
+    """Auto/forced level fusion composes with the sequential DFF loop:
+    s386-scale circuit, 2 cycles, fused vs oracle on every output."""
+    nl = read_verilog_file("benchmarks/netlists/s386-like.v")
+    c = Circuit.from_netlist(read_verilog_file("benchmarks/netlists/s386-like.v"))
+    e = BooleanEngine(
+        mode="gates", params=P.TEST_PARAMS, seed=21, fuse_levels=True
+    )
+    e.compile(nl)
+    assert e._scan_levels is not None
+    ins = {f"i[{j}]": bool(j % 2) for j in range(7)}
+    wires = e.encrypt_inputs(ins)
+    wm = c.initialize_wire_map(nl.wire_set, ins)
+    for _ in range(2):
+        wires = e.evaluate(wires)
+        wm = c.evaluate(wm)
+    out = e.decrypt_outputs(wires)
+    assert all(bool(wm[w]) == bool(v) for w, v in out.items())
+
+
+def test_fuse_levels_auto_heuristic():
+    """None = auto: deep/narrow circuits fuse, shallow ones don't."""
+    e = BooleanEngine(mode="gates", params=P.TEST_PARAMS, seed=22)
+    e.compile(read_verilog_file("benchmarks/netlists/c880-like.v"))
+    assert e._scan_levels is not None  # 383 gates over ~55 narrow levels
+    e2 = BooleanEngine(mode="gates", params=P.TEST_PARAMS, seed=22)
+    e2.compile(read_verilog_file("benchmarks/netlists/2-bit-adder.v"))
+    assert e2._scan_levels is None  # 5 levels: per-level launches

@@ -36,7 +36,7 @@ t0 = time.time()
 e = BooleanEngine(
     mode="gates", params=pset, seed=3, backend=backend,
     g_tile=int(gt_env) if gt_env else None,
-    fuse_levels=bool(int(os.environ.get("FUSE", "0"))),
+    fuse_levels=(lambda v: bool(int(v)) if v else None)(os.environ.get("FUSE", "")),
 )
 print(f"KeyGen {time.time()-t0:.1f}s", flush=True)
 e.compile(nl)

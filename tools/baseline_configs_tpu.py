@@ -15,7 +15,7 @@ from helm_tpu.io import csv_io
 ONLY = os.environ.get("ONLY", "")
 BACKEND = os.environ.get("BACKEND", "jnp")
 POVR = getattr(P, os.environ["PARAMS"]) if os.environ.get("PARAMS") else None
-FUSE = bool(int(os.environ.get("FUSE", "0")))
+FUSE = (lambda v: bool(int(v)) if v else None)(os.environ.get("FUSE", ""))
 
 def run(name, path, mode, params, inputs, cycles=1):
     if ONLY and ONLY not in name:

@@ -13,10 +13,11 @@ backend = os.environ.get("BACKEND", "jnp")
 gt_env = os.environ.get("GT", "")
 nl = read_verilog_file(path)
 t0 = time.time()
+fuse_env = os.environ.get("FUSE", "")  # unset = auto
 e = BooleanEngine(
     mode="gates", params=pset, seed=88, backend=backend,
     g_tile=int(gt_env) if gt_env else None,
-    fuse_levels=bool(int(os.environ.get("FUSE", "0"))),
+    fuse_levels=bool(int(fuse_env)) if fuse_env else None,
 )
 print(f"KeyGen {time.time()-t0:.1f}s", flush=True)
 e.compile(nl)
