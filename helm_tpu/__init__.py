@@ -43,7 +43,10 @@ def __getattr__(name):
 
         return read_verilog_file
     if name == "params":
-        from . import params
+        # importlib, not `from . import params`: the from-import form
+        # re-enters this __getattr__ while the submodule attribute is
+        # still unset and recurses
+        import importlib
 
-        return params
+        return importlib.import_module(".params", __name__)
     raise AttributeError(f"module 'helm_tpu' has no attribute {name!r}")

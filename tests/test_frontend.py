@@ -311,3 +311,19 @@ def test_examples_run():
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "all examples OK" in r.stdout
+
+
+def test_package_from_import_params():
+    """`from helm_tpu import params` in a FRESH interpreter must not
+    recurse through the lazy __getattr__ (regression: _handle_fromlist
+    re-entered __getattr__ before the submodule attribute was set)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "from helm_tpu import params as P; print(P.TEST_PARAMS.name)"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "test_tiny" in r.stdout
