@@ -73,7 +73,10 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     ap.add_argument("-c", "--cycles", type=int, default=1, metavar="NUMBER")
     ap.add_argument("-p", "--verbose", action="store_true")
-    ap.add_argument("--tpu", "-g", action="store_true", help="(accepted for parity; always on)")
+    ap.add_argument(
+        "--tpu", "--gpu", "-g", action="store_true",
+        help="(accepted for parity with the reference's --gpu; always on)",
+    )
     ap.add_argument(
         "--test-params",
         action="store_true",
