@@ -21,6 +21,21 @@ HELM_CPU_BASELINE_BS_PER_SEC = 6400.0
 
 
 def main():
+    # fail fast if the TPU backend is unreachable — a hung axon init
+    # otherwise stalls the whole bench run for its full timeout
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=float(os.environ.get("BENCH_PROBE_TIMEOUT", "300")),
+            check=True,
+            capture_output=True,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(f"[bench] TPU backend unreachable: {e}", file=sys.stderr)
+        return 1
+
     import numpy as np
 
     import jax
