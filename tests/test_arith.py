@@ -468,3 +468,29 @@ def test_square_symmetric_schoolbook(engine_u8):
     sq = e.ops.mul(cts, cts, square=True)
     got = [e._decrypt_value(np.asarray(sq[i])) for i in range(16)]
     assert got == [(int(x) * int(x)) % 256 for x in xs]
+
+
+@pytest.mark.parametrize("typ,width", [("u64", 64), ("u128", 128)])
+def test_wide_precisions(typ, width):
+    """u64/u128 (32/64 radix blocks): add, mul_plain, and (u64) full mul
+    — the log-depth propagate and compressor endgame at reference-claimed
+    maximum widths (lib.rs:21-29 goes to U128)."""
+    e = ArithEngine(typ, params=P.TEST_PARAMS_ARITH, seed=5)
+    rng = np.random.default_rng(1)
+    xs = [int.from_bytes(rng.bytes(width // 8), "little") for _ in range(2)]
+    ys = [int.from_bytes(rng.bytes(width // 8), "little") for _ in range(2)]
+    cx = jnp.asarray(np.stack([np.asarray(e._encrypt_value(v)) for v in xs]))
+    cy = jnp.asarray(np.stack([np.asarray(e._encrypt_value(v)) for v in ys]))
+    s = e.ops.add(cx, cy)
+    m = e.ops.mul_plain(cx, 171)
+    assert [e._decrypt_value(np.asarray(s[i])) for i in range(2)] == [
+        (x + y) % 2**width for x, y in zip(xs, ys)
+    ]
+    assert [e._decrypt_value(np.asarray(m[i])) for i in range(2)] == [
+        (x * 171) % 2**width for x in xs
+    ]
+    if typ == "u64":
+        mm = e.ops.mul(cx, cy)
+        assert [e._decrypt_value(np.asarray(mm[i])) for i in range(2)] == [
+            (x * y) % 2**width for x, y in zip(xs, ys)
+        ]
