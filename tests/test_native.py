@@ -16,6 +16,9 @@ NETLISTS = [
     ("benchmarks/netlists/8-bit-adder-lut-3-1.v", False),
     ("benchmarks/netlists/c880-like.v", False),
     ("benchmarks/netlists/chi_squared_arith.v", True),
+    ("benchmarks/netlists/128-bit-mult.v", False),
+    ("benchmarks/netlists/s15850-like.v", False),
+    ("benchmarks/netlists/mmult15_arith.v", True),
 ]
 
 
