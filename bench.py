@@ -41,9 +41,9 @@ def main():
     import jax
 
     # persistent compilation cache: repeat runs skip the ~2-minute compile
-    jax.config.update("jax_compilation_cache_dir", os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from helm_tpu.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from helm_tpu import params as P

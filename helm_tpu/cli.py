@@ -152,6 +152,10 @@ def main(argv=None) -> int:
     ascii_art.print_art()
     args = build_argparser().parse_args(argv)
 
+    from .compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     if args.multihost:
         from .parallel.distributed import init_multihost, parse_multihost_flag
 

@@ -137,6 +137,9 @@ def _collect(watch: str, batch: int, linger: float, poll: float) -> list[str]:
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    from .compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     from .circuit.verilog import read_verilog_file
     from .io import csv_io, native_loader
 

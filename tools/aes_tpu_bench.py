@@ -8,6 +8,8 @@ Env: PSET (default GATES_TPU_MB2), BACKEND (jnp|mxu), FUSE, GT, BATCH.
 import sys, pathlib, time, os
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+from helm_tpu.compile_cache import enable_compile_cache
+enable_compile_cache()
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "benchmarks"))
 import numpy as np
 from gen_circuits import aes_encrypt

@@ -1,6 +1,8 @@
 """Headline benchmark: c880-scale gates-mode wall-clock on the real chip."""
 import sys, pathlib, time, os
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+from helm_tpu.compile_cache import enable_compile_cache
+enable_compile_cache()
 import numpy as np
 from helm_tpu import params as P
 from helm_tpu.circuit.verilog import read_verilog_file

@@ -7,6 +7,8 @@ ABLATES (comma-of-colon list, e.g. ":noladder:noptw" -> "", noladder, noptw).
 import sys, pathlib
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+from helm_tpu.compile_cache import enable_compile_cache
+enable_compile_cache()
 import os, time, numpy as np, jax, jax.numpy as jnp
 from helm_tpu import params as P
 from helm_tpu.fhe import keys as K, lwe, pbs_jnp, server_key
