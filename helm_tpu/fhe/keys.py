@@ -28,9 +28,9 @@ def load_client_key(path: str) -> ClientKey:
     z = np.load(path, allow_pickle=False)
     assert str(z["kind"]) == "client", "not a client key file"
     params = ALL_PARAMS[str(z["params"])]
-    return ClientKey(
-        params, z["lwe_key"], z["glwe_key"], np.random.default_rng()
-    )
+    from .csprng import make_rng
+
+    return ClientKey(params, z["lwe_key"], z["glwe_key"], make_rng())
 
 
 def save_server_key(path: str, sk: ServerKey) -> None:

@@ -13,6 +13,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..params import Q, TfheParams
+from .csprng import make_rng
 
 
 @dataclass
@@ -20,7 +21,9 @@ class ClientKey:
     params: TfheParams
     lwe_key: np.ndarray  # uint32 [n], binary
     glwe_key: np.ndarray  # uint32 [k, N], binary
-    rng: np.random.Generator = field(repr=False)
+    # ChaCha20 CSPRNG by default (csprng.make_rng); numpy PCG64 only under
+    # HELM_TPU_INSECURE_PRNG=1 (bench mode) — see SECURITY.md "Randomness"
+    rng: object = field(repr=False)
 
     @property
     def extracted_key(self) -> np.ndarray:
@@ -29,7 +32,7 @@ class ClientKey:
 
 
 def keygen(params: TfheParams, seed: int | None = None) -> ClientKey:
-    rng = np.random.default_rng(seed)
+    rng = make_rng(seed)
     lwe_key = rng.integers(0, 2, size=params.n, dtype=np.uint32)
     glwe_key = rng.integers(0, 2, size=(params.k, params.N), dtype=np.uint32)
     return ClientKey(params, lwe_key, glwe_key, rng)
@@ -76,7 +79,9 @@ def encrypt_many(
                 ck.lwe_key,
                 mu,
                 ck.params.lwe_noise_std,
-                seed=int(ck.rng.integers(1 << 62)),
+                # 256 bits of fresh key material for the native ChaCha20
+                # streams (ChaChaGenerator.bytes / numpy Generator.bytes)
+                seed=ck.rng.bytes(32),
             )
     return encrypt(ck, mu)
 

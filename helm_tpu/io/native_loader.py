@@ -47,7 +47,7 @@ def _load():
                 ctypes.POINTER(ctypes.c_uint32),  # mu
                 ctypes.c_long,  # m
                 ctypes.c_double,  # noise_std
-                ctypes.c_uint64,  # seed
+                ctypes.c_char_p,  # key32 (256-bit ChaCha20 key)
                 ctypes.c_int,  # nthreads
                 ctypes.POINTER(ctypes.c_uint32),  # out
             ]
@@ -82,21 +82,35 @@ def read_input_wires(file_name: str, ptxt_type: str) -> dict:
     return out
 
 
+def _key32(seed) -> bytes:
+    """Normalize a seed (int or bytes) to a 256-bit ChaCha20 key."""
+    if isinstance(seed, (bytes, bytearray)) and len(seed) == 32:
+        return bytes(seed)
+    import hashlib
+
+    if isinstance(seed, int):
+        seed = seed.to_bytes(32, "little", signed=False)
+    return hashlib.sha256(b"helm_tpu-native-enc-v1:" + bytes(seed)).digest()
+
+
 def encrypt_batch(
     key: np.ndarray,
     mu: np.ndarray,
     noise_std: float,
-    seed: int,
+    seed,
     nthreads: int = 0,
 ) -> np.ndarray:
     """Batch LWE encryption of torus messages mu (uint32 [...]) under key
-    (uint32 [n]): returns uint32 [..., n+1]. All cores by default; numpy
-    fallback (same contract, different randomness) when the library is
-    not built."""
+    (uint32 [n]): returns uint32 [..., n+1]. All cores by default. `seed`
+    is 32 bytes of key material (or an int, hashed to 32 bytes); both the
+    C++ path and the Python fallback draw masks and noise from ChaCha20
+    streams keyed by it (same contract, different stream layout)."""
     lib = _load()
     n = int(key.shape[0])
     if lib is None:
-        rng = np.random.default_rng(seed)
+        from ..fhe.csprng import ChaChaGenerator
+
+        rng = ChaChaGenerator(_key32(seed))
         mu32 = np.asarray(mu, dtype=np.uint32)
         a = rng.integers(0, 1 << 32, size=mu32.shape + (n,), dtype=np.uint32)
         dot = (a.astype(np.uint64) * key.astype(np.uint64)).sum(axis=-1)
@@ -118,7 +132,7 @@ def encrypt_batch(
         mu_flat.ctypes.data_as(u32p),
         m,
         float(noise_std),
-        seed & 0xFFFFFFFFFFFFFFFF,
+        _key32(seed),
         nthreads,
         out.ctypes.data_as(u32p),
     )

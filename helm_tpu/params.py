@@ -443,6 +443,32 @@ GATES_128_MB2 = TfheParams(
     grouping=2,
 )
 
+#: 128-bit-class gates set, k=3/N=512 GLWE (the tfhe-rs 0.4 boolean
+#: DEFAULT_PARAMETERS shape — reference L0 via Cargo.toml:18 — re-tuned for
+#: this kernel with tools/param_search.py under the in-repo core-SVP
+#: estimator and noise model). Same 1536-dim GLWE security as k=1/N=2048
+#: at 1/4 the transform area per external-product row; the fs kernel's
+#: per-step cost model scores it 1.84x cheaper than GATES_128_MB2.
+#: Security: LWE n=704/sigma=2^16 -> 104.8-bit core-SVP (the same margin
+#: the maintained lattice-estimator default scores ~128 for tfhe-rs's
+#: n=742 key); GLWE kN=1536/sigma=4 -> 135.5-bit. Failure 2^-37.2 at XOR
+#: growth 8 (modswitch-dominated: N=512 rounds the mask to 2N=1024).
+GATES_128_K3 = TfheParams(
+    name="gates_128_k3",
+    n=704,
+    k=3,
+    N=512,
+    pbs_base_log=9,
+    pbs_level=2,
+    ks_base_log=2,
+    ks_level=8,
+    lwe_noise_std=65536.0,
+    glwe_noise_std=4.0,
+    msg_space_log=3,
+    message_bits=1,
+    grouping=2,
+)
+
 #: 128-bit-class LUT set (3-bit messages). Failure 2^-39 at packing
 #: growth 17.
 LUT_128_MB2 = TfheParams(
@@ -497,6 +523,24 @@ TEST_PARAMS_MB = TfheParams(
     grouping=2,
 )
 
+#: Tiny k=3 set: exercises the GLWE-dimension-general (k > 1) paths that
+#: GATES_128_K3 rides in production.
+TEST_PARAMS_K3 = TfheParams(
+    name="test_tiny_k3",
+    n=16,
+    k=3,
+    N=64,
+    pbs_base_log=8,
+    pbs_level=2,
+    ks_base_log=4,
+    ks_level=4,
+    lwe_noise_std=0.0,
+    glwe_noise_std=0.0,
+    msg_space_log=3,
+    message_bits=1,
+    grouping=2,
+)
+
 TEST_PARAMS_MB4 = TfheParams(
     name="test_tiny_mb4",
     n=16,
@@ -530,8 +574,10 @@ ALL_PARAMS = {
         ARITH_TPU_MB2,
         LUT_TPU_MB2,
         GATES_128_MB2,
+        GATES_128_K3,
         LUT_128_MB2,
         ARITH_128_MB2,
         TEST_PARAMS_MB,
+        TEST_PARAMS_K3,
     )
 }

@@ -13,11 +13,13 @@
 //   helm_read_input_csv(path, is_bool) -> malloc'd "wire=value\n" lines with
 //     hex-width rows already expanded to per-bit wires (little-endian index,
 //     reference src/lib.rs:181-194); helm_free() releases it.
-//   helm_encrypt_lwe(key, n, mu, m, noise_std, seed, nthreads, out) fills
+//   helm_encrypt_lwe(key, n, mu, m, noise_std, key32, nthreads, out) fills
 //     out[m][n+1] with LWE encryptions b = <a,s> + mu_i + e (q = 2^32,
-//     wrapping). PRNG: per-thread xoshiro256** seeded via splitmix64 —
-//     benchmark-grade randomness, matching the numpy-PCG64 Python path's
-//     threat model (neither is a hedged CSPRNG).
+//     wrapping). PRNG: ChaCha20 (RFC 8439 block function) keyed by the
+//     caller-provided 256-bit key32, one nonce-separated stream per thread
+//     — CSPRNG-grade, matching the Python ChaChaGenerator's threat model
+//     (helm_tpu/fhe/csprng.py; the reference's client is tfhe-rs, which is
+//     CSPRNG-seeded throughout — Cargo.toml:18).
 
 #include <cctype>
 #include <cinttypes>
@@ -34,53 +36,68 @@
 
 namespace {
 
-struct Xoshiro {
-  uint64_t s[4];
-  explicit Xoshiro(uint64_t seed) {
-    // splitmix64 expansion
-    for (int i = 0; i < 4; i++) {
-      seed += 0x9E3779B97F4A7C15ULL;
-      uint64_t z = seed;
-      z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
-      z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
-      s[i] = z ^ (z >> 31);
+// ChaCha20 keystream (RFC 8439 block function), buffered per instance.
+struct ChaCha {
+  uint32_t key[8];
+  uint32_t nonce[3];
+  uint32_t counter = 0;
+  uint32_t buf[16];
+  int have = 0;
+
+  ChaCha(const uint8_t* key32, uint64_t stream) {
+    std::memcpy(key, key32, 32);  // little-endian words (x86/ARM LE)
+    nonce[0] = (uint32_t)stream;
+    nonce[1] = (uint32_t)(stream >> 32);
+    nonce[2] = 0;
+  }
+  static uint32_t rotl(uint32_t x, int k) { return (x << k) | (x >> (32 - k)); }
+#define HELM_QR(a, b, c, d)                      \
+  a += b; d = rotl(d ^ a, 16);                   \
+  c += d; b = rotl(b ^ c, 12);                   \
+  a += b; d = rotl(d ^ a, 8);                    \
+  c += d; b = rotl(b ^ c, 7)
+  void refill() {
+    uint32_t x[16] = {0x61707865u, 0x3320646eu, 0x79622d32u, 0x6b206574u,
+                      key[0], key[1], key[2], key[3],
+                      key[4], key[5], key[6], key[7],
+                      counter, nonce[0], nonce[1], nonce[2]};
+    uint32_t w[16];
+    std::memcpy(w, x, sizeof(x));
+    for (int i = 0; i < 10; i++) {
+      HELM_QR(w[0], w[4], w[8], w[12]);
+      HELM_QR(w[1], w[5], w[9], w[13]);
+      HELM_QR(w[2], w[6], w[10], w[14]);
+      HELM_QR(w[3], w[7], w[11], w[15]);
+      HELM_QR(w[0], w[5], w[10], w[15]);
+      HELM_QR(w[1], w[6], w[11], w[12]);
+      HELM_QR(w[2], w[7], w[8], w[13]);
+      HELM_QR(w[3], w[4], w[9], w[14]);
     }
+    for (int i = 0; i < 16; i++) buf[i] = w[i] + x[i];
+    counter++;
+    have = 16;
   }
-  static uint64_t rotl(uint64_t x, int k) { return (x << k) | (x >> (64 - k)); }
-  uint64_t next() {
-    uint64_t result = rotl(s[1] * 5, 7) * 9;
-    uint64_t t = s[1] << 17;
-    s[2] ^= s[0];
-    s[3] ^= s[1];
-    s[1] ^= s[2];
-    s[0] ^= s[3];
-    s[2] ^= t;
-    s[3] = rotl(s[3], 45);
-    return result;
+#undef HELM_QR
+  uint32_t next32() {
+    if (have == 0) refill();
+    return buf[16 - have--];
   }
-  double uniform01() {  // (0, 1]
-    return ((next() >> 11) + 1) * 0x1.0p-53;
+  double uniform01() {  // (0, 1]: 53-bit mantissa from two words
+    uint64_t v = (uint64_t)next32() | ((uint64_t)next32() << 32);
+    return ((v >> 11) + 1) * 0x1.0p-53;
   }
 };
 
 void encrypt_rows(const uint32_t* key, int n, const uint32_t* mu, long lo,
-                  long hi, double noise_std, uint64_t seed, uint32_t* out) {
-  Xoshiro rng(seed);
+                  long hi, double noise_std, const uint8_t* key32,
+                  uint64_t stream, uint32_t* out) {
+  ChaCha rng(key32, stream);
   const long stride = n + 1;
   for (long r = lo; r < hi; r++) {
     uint32_t* row = out + r * stride;
     uint64_t dot = 0;
-    long i = 0;
-    // draw the mask 2 lanes per 64-bit PRNG output
-    for (; i + 1 < n; i += 2) {
-      uint64_t v = rng.next();
-      uint32_t a0 = (uint32_t)v, a1 = (uint32_t)(v >> 32);
-      row[i] = a0;
-      row[i + 1] = a1;
-      dot += (uint64_t)a0 * key[i] + (uint64_t)a1 * key[i + 1];
-    }
-    if (i < n) {
-      uint32_t a0 = (uint32_t)rng.next();
+    for (long i = 0; i < n; i++) {
+      uint32_t a0 = rng.next32();
       row[i] = a0;
       dot += (uint64_t)a0 * key[i];
     }
@@ -107,13 +124,14 @@ std::string strip(const std::string& sv) {
 extern "C" {
 
 // Threaded batch LWE encryption. key: u32[n] (any values; binary for TFHE),
-// mu: u32[m] torus messages, out: u32[m*(n+1)]. Wrapping mod 2^32.
+// mu: u32[m] torus messages, key32: 256-bit ChaCha20 key (fresh per call),
+// out: u32[m*(n+1)]. Wrapping mod 2^32.
 void helm_encrypt_lwe(const uint32_t* key, int n, const uint32_t* mu, long m,
-                      double noise_std, uint64_t seed, int nthreads,
+                      double noise_std, const uint8_t* key32, int nthreads,
                       uint32_t* out) {
   if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
   if (nthreads <= 1 || m < 64) {
-    encrypt_rows(key, n, mu, 0, m, noise_std, seed, out);
+    encrypt_rows(key, n, mu, 0, m, noise_std, key32, 0, out);
     return;
   }
   std::vector<std::thread> ts;
@@ -121,8 +139,9 @@ void helm_encrypt_lwe(const uint32_t* key, int n, const uint32_t* mu, long m,
   for (int t = 0; t < nthreads; t++) {
     long lo = t * chunk, hi = std::min(m, lo + chunk);
     if (lo >= hi) break;
-    ts.emplace_back(encrypt_rows, key, n, mu, lo, hi, noise_std,
-                    seed + 0x1000003ULL * (uint64_t)(t + 1), out);
+    // nonce-separated streams: same key, stream id = thread index
+    ts.emplace_back(encrypt_rows, key, n, mu, lo, hi, noise_std, key32,
+                    (uint64_t)(t + 1), out);
   }
   for (auto& th : ts) th.join();
 }

@@ -47,6 +47,60 @@ def test_multibit_gate_truth_tables(mb_keys):
         assert got == exp, name
 
 
+def test_k3_glwe_bootstrap_jnp_and_mxu():
+    """GLWE dimension k=3 (the GATES_128_K3 production shape, tfhe-rs 0.4
+    boolean DEFAULT_PARAMETERS-like — reference L0 via Cargo.toml:18):
+    the jnp pipeline bootstraps correctly and the fs MXU kernel is
+    bit-identical (interpret mode)."""
+    from helm_tpu.ops.mxu_pbs import bootstrap_mxu
+
+    p = P.TEST_PARAMS_K3
+    ck = lwe.keygen(p, seed=31)
+    dsk = pbs_jnp.DeviceServerKey.from_host(server_key.gen_server_key(ck))
+    rows = (p.k + 1) * p.pbs_level
+    assert dsk.bsk_ntt.shape == (p.n // 2, 4, rows, p.k + 1, 4, p.N)
+    q8 = 1 << 29
+    combos = [(a, b) for a in (False, True) for b in (False, True)]
+    c1 = lwe.encrypt(ck, lwe.encode_bool([a for a, _ in combos]))
+    c2 = lwe.encrypt(ck, lwe.encode_bool([b for _, b in combos]))
+    testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
+    for name, lin, exp in (
+        ("and", c1 + c2 - lwe.trivial(p, np.full(4, np.uint32(q8))),
+         [a and b for a, b in combos]),
+        ("xor", 2 * (c1 + c2) + lwe.trivial(p, np.full(4, np.uint32(2 * q8))),
+         [a != b for a, b in combos]),
+    ):
+        lin = jnp.asarray(lin.astype(np.uint32))
+        out = np.asarray(jax.jit(pbs_jnp.bootstrap)(dsk, lin, testv))
+        got = list(lwe.decode_bool(lwe.decrypt_phase(ck, out)))
+        assert got == exp, name
+        out_mxu = np.asarray(bootstrap_mxu(dsk, lin, testv, interpret=True))
+        assert (out_mxu == out).all(), name
+
+
+@pytest.mark.slow
+def test_gates_128_k3_end_to_end():
+    """The k=3 128-bit gates set bootstraps correctly with real noise."""
+    p = P.GATES_128_K3
+    ck = lwe.keygen(p, seed=78)
+    dsk = pbs_jnp.DeviceServerKey.from_host(server_key.gen_server_key(ck))
+    q8 = 1 << 29
+    combos = [(a, b) for a in (False, True) for b in (False, True)]
+    c1 = lwe.encrypt(ck, lwe.encode_bool([a for a, _ in combos]))
+    c2 = lwe.encrypt(ck, lwe.encode_bool([b for _, b in combos]))
+    testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
+    bs = jax.jit(pbs_jnp.bootstrap)
+    for name, lin, exp in (
+        ("and", c1 + c2 - lwe.trivial(p, np.full(4, np.uint32(q8))),
+         [a and b for a, b in combos]),
+        ("xor", 2 * (c1 + c2) + lwe.trivial(p, np.full(4, np.uint32(2 * q8))),
+         [a != b for a, b in combos]),
+    ):
+        out = np.asarray(bs(dsk, jnp.asarray(lin.astype(np.uint32)), testv))
+        got = list(lwe.decode_bool(lwe.decrypt_phase(ck, out)))
+        assert got == exp, name
+
+
 @pytest.mark.slow
 def test_gates_128_set_end_to_end():
     """The hardened 128-bit gates set (SECURITY.md) bootstraps correctly

@@ -46,6 +46,7 @@ def test_128bit_family_noise_budget():
     # the hardened sets must keep per-PBS failure low at their worst-case
     # linear growth (XOR = 8, 3-input LUT pack = 21, arith mux-bivariate = 18)
     assert P.GATES_128_MB2.pbs_failure_log2(linear_growth=8.0) < -60
+    assert P.GATES_128_K3.pbs_failure_log2(linear_growth=8.0) < -30
     assert P.LUT_128_MB2.pbs_failure_log2(linear_growth=21.0) < -30
     assert P.ARITH_128_MB2.pbs_failure_log2(linear_growth=18.0) < -30
 
@@ -66,7 +67,7 @@ def test_concrete_security_estimates():
     anchor = security.estimate_lwe_security(742, 7.069849454709433e-6 * 2**64, q=2**64)
     assert 100 <= anchor.classical_bits <= 108
 
-    for p in (P.GATES_128_MB2, P.LUT_128_MB2, P.ARITH_128_MB2):
+    for p in (P.GATES_128_MB2, P.GATES_128_K3, P.LUT_128_MB2, P.ARITH_128_MB2):
         est = security.estimate_params(p)
         assert est["lwe"].classical_bits >= 100, p.name
         assert est["glwe"].classical_bits >= 100, p.name
