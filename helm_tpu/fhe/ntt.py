@@ -132,9 +132,14 @@ def to_residues(xp, x_u32, tab: NttTables):
 
 
 def digits_to_residues(xp, d_i32, primes_col):
-    """Signed small digits (int32, |d| < min(p)) -> residues [..., NP, N]."""
+    """Signed gadget digits (int32, |d| <= 2^15) -> residues [..., NP, N].
+
+    Exact for any digit magnitude up to the approximate-gadget mask base
+    2^16 (digits +-2^15), which EXCEEDS the smallest NTT prime (12289) —
+    a single conditional add is not enough there, so reduce fully
+    (floor-mod with a positive divisor is non-negative in numpy/jnp)."""
     d = d_i32[..., None, :]
-    return _u32(xp, xp.where(d < 0, d + primes_col.astype(xp.int32), d))
+    return _u32(xp, d % primes_col.astype(xp.int32))
 
 
 def garner_to_u32(xp, r, tab: NttTables):

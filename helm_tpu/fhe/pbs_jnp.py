@@ -34,6 +34,17 @@ from .ntt import (
 from .server_key import ServerKey
 
 
+def decompose_glwe(p: TfheParams, x: jax.Array) -> jax.Array:
+    """Signed-decompose a GLWE batch [G, k+1, N] into gadget rows
+    [G, gadget_rows, N], c-major / level-minor, honoring per-component
+    (approximate mask) gadgets — params.component_gadgets."""
+    parts = []
+    for c, (bl, lv) in enumerate(p.component_gadgets):
+        dg = ops.signed_decompose(jnp, x[:, c], bl, lv)  # [lv, G, N]
+        parts.append(jnp.transpose(dg, (1, 0, 2)))
+    return jnp.concatenate(parts, axis=1)
+
+
 @dataclass(frozen=True)
 class DeviceServerKey:
     """Server key resident on device (jnp arrays) + static metadata."""
@@ -95,7 +106,7 @@ def blind_rotate(
     tab = dsk.tab
     n, N, k = p.n, p.N, p.k
     G = lwe_in.shape[0]
-    rows = (k + 1) * p.pbs_level
+    rows = p.gadget_rows
     primes_col = jnp.asarray(tab.primes).reshape(NUM_PRIMES, 1)
 
     abar = ops.mod_switch(jnp, lwe_in[:, :n], N)  # [G, n] in [0, 2N)
@@ -112,9 +123,7 @@ def blind_rotate(
         bsk_i, bsk_sh_i, a_i = xs  # [rows,k+1,NP,N] x2, [G]
         rot = ops.negacyclic_rotate(jnp, acc, a_i[:, None], N)
         diff = rot - acc  # u32 wrap
-        digits = ops.signed_decompose(jnp, diff, p.pbs_base_log, p.pbs_level)
-        # [l, G, k+1, N] -> rows order c*l + j
-        d = jnp.transpose(digits, (1, 2, 0, 3)).reshape(G, rows, N)
+        d = decompose_glwe(p, diff)  # [G, rows, N], c-major
         res = digits_to_residues(jnp, d, primes_col)  # [G, rows, NP, N]
         f = ntt_fwd(jnp, res, tab)
         outs = []
@@ -184,7 +193,7 @@ def blind_rotate_multibit(
     groups = n // g
     G = lwe_in.shape[0]
     kp1 = k + 1
-    rows = kp1 * p.pbs_level
+    rows = p.gadget_rows
     primes_col = jnp.asarray(tab.primes).reshape(NUM_PRIMES, 1)
     mono, mono_sh = monomial_tables(N)
     mono = jnp.asarray(mono)
@@ -213,7 +222,7 @@ def blind_rotate_multibit(
     ones = jnp.ones((1, NUM_PRIMES, N), jnp.uint32)
 
     def step(acc, xs):
-        bsk_j, bsk_sh_j, a_j = xs  # [2^g, rows, kp1, NP, N] x2, [G, g]
+        bsk_j, bsk_sh_j, a_j = xs  # [2^g - 1, rows, kp1, NP, N] x2, [G, g]
         # subset polynomials P_v in NTT domain
         d = [
             ntt_sub_mod(mono_ntt(a_j[:, i]), ones, primes_col) for i in range(g)
@@ -229,28 +238,31 @@ def blind_rotate_multibit(
                     acc_p = _generic_modmul_jnp(acc_p, d[i], primes_col)
                 pv[v] = acc_p
         # decompose acc and forward-NTT the rows
-        digits = ops.signed_decompose(jnp, acc, p.pbs_base_log, p.pbs_level)
-        dd = jnp.transpose(digits, (1, 2, 0, 3)).reshape(G, rows, N)
+        dd = decompose_glwe(p, acc)  # [G, rows, N], c-major
         f = ntt_fwd(jnp, digits_to_residues(jnp, dd, primes_col), tab)
         outs = []
         for c in range(kp1):
             s = None
             for r in range(rows):
-                # E[r, c] = BSK_0 + sum_v P_v (.) BSK_v  (v=0: P=1)
-                e = bsk_j[0, r, c]
+                # E[r, c] = sum_{v>=1} P_v (.) BSK_v; the empty subset
+                # (GGSW of 1) is handled additively below — the
+                # additive-identity CMux form, so it is never keyed,
+                # loaded, or multiplied (see server_key.gen_bsk_multibit)
+                e = None
                 for v in range(1, 1 << g):
                     t = mul_shoup(
-                        jnp, pv[v], bsk_j[v, r, c], bsk_sh_j[v, r, c], primes_col
+                        jnp, pv[v], bsk_j[v - 1, r, c], bsk_sh_j[v - 1, r, c],
+                        primes_col,
                     )
-                    e = e + t
-                e = reduce_small_sum(jnp, e, primes_col, (1 << g) + 1)
+                    e = t if e is None else e + t
+                e = reduce_small_sum(jnp, e, primes_col, 1 << g)
                 t = _generic_modmul_jnp(f[:, r], e, primes_col)
                 s = t if s is None else s + t
             s = reduce_small_sum(jnp, s, primes_col, rows + 1)
             outs.append(s)
         prod = jnp.stack(outs, axis=1)
-        # the external product with GGSW(X^{sum a s}) REPLACES acc
-        return garner_to_u32(jnp, ntt_inv(jnp, prod, tab), tab), None
+        # acc += dec(acc) (.) (E - GGSW(1)): identity handled additively
+        return acc + garner_to_u32(jnp, ntt_inv(jnp, prod, tab), tab), None
 
     acc, _ = jax.lax.scan(
         step, acc, (dsk.bsk_ntt, dsk.bsk_ntt_sh, a_groups), length=groups

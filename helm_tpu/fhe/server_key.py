@@ -97,17 +97,18 @@ def gen_bsk(ck: ClientKey) -> tuple[np.ndarray, np.ndarray]:
     p = ck.params
     tab = get_tables(p.N)
     kp1 = p.k + 1
-    levels = p.pbs_level
-    rows_per = kp1 * levels
+    rows_per = p.gadget_rows
     raw = _glwe_enc_zero_batch(ck, p.n * rows_per).reshape(
-        p.n, kp1, levels, kp1, p.N
+        p.n, rows_per, kp1, p.N
     )
-    # add s_i * q/B^(j+1) * X^0 to poly c of row (c, j)
-    for j in range(levels):
-        w = np.uint32(1 << (32 - p.pbs_base_log * (j + 1)))
-        for c in range(kp1):
-            raw[:, c, j, c, 0] += ck.lwe_key * w
-    raw = raw.reshape(p.n, rows_per, kp1, p.N)
+    # add s_i * q/B_c^(j+1) * X^0 to poly c of row (c, j); rows are c-major
+    # with per-component gadgets (approximate mask gadget — params.py)
+    r = 0
+    for c in range(kp1):
+        bl, lv = p.component_gadgets[c]
+        for j in range(lv):
+            raw[:, r, c, 0] += ck.lwe_key * np.uint32(1 << (32 - bl * (j + 1)))
+            r += 1
     fwd, _ = _keygen_cpu_jit(p.N)
     bsk_ntt = fwd(raw)
     # move prime axis: to_residues gives [..., NP, N] -> already [n,rows,kp1,NP,N]
@@ -151,10 +152,15 @@ def gen_ksk(ck: ClientKey) -> np.ndarray:
 def gen_bsk_multibit(ck: ClientKey) -> tuple[np.ndarray, np.ndarray]:
     """Grouped bootstrap key for multi-bit PBS (params.grouping = g > 1).
 
-    For each group j of g secret bits and each subset mask v in [0, 2^g),
-    a GGSW encryption of prod_{i in v} s_{jg+i} (analog of tfhe-rs's
-    multi-bit BSK; the reference's arith mode uses GROUP_3 parameters,
-    src/bin/helm.rs:81-88). Shape [n/g, 2^g, (k+1)*l, k+1, NP, N].
+    For each group j of g secret bits and each NONEMPTY subset mask
+    v in [1, 2^g), a GGSW encryption of prod_{i in v} s_{jg+i} (analog of
+    tfhe-rs's multi-bit BSK; the reference's arith mode uses GROUP_3
+    parameters, src/bin/helm.rs:81-88). The empty subset (GGSW of 1) is
+    NOT keyed: the kernels use the additive-identity CMux form
+    acc += dec(acc) (.) sum_{v>=1} P_v BSK_v, so the v=0 external product
+    — 25%% of the pointwise terms, BSK loads, and key bytes at g=2 —
+    never happens (and contributes no noise, matching the noise model's
+    (3^g-1)/(2g) multiplier exactly). Shape [n/g, 2^g-1, rows, k+1, NP, N].
     """
     p = ck.params
     g = p.grouping
@@ -162,24 +168,26 @@ def gen_bsk_multibit(ck: ClientKey) -> tuple[np.ndarray, np.ndarray]:
     groups = p.n // g
     tab = get_tables(p.N)
     kp1 = p.k + 1
-    levels = p.pbs_level
-    rows_per = kp1 * levels
+    rows_per = p.gadget_rows
     nv = 1 << g
-    raw = _glwe_enc_zero_batch(ck, groups * nv * rows_per).reshape(
-        groups, nv, kp1, levels, kp1, p.N
+    raw = _glwe_enc_zero_batch(ck, groups * (nv - 1) * rows_per).reshape(
+        groups, nv - 1, rows_per, kp1, p.N
     )
     s = ck.lwe_key.reshape(groups, g)
-    for v in range(nv):
+    for v in range(1, nv):
         # m_v[j] = prod of the selected bits of group j
         m = np.ones(groups, dtype=np.uint32)
         for i in range(g):
             if (v >> i) & 1:
                 m = m * s[:, i]
-        for j in range(levels):
-            w = np.uint32(1 << (32 - p.pbs_base_log * (j + 1)))
-            for c in range(kp1):
-                raw[:, v, c, j, c, 0] += m * w
-    raw = raw.reshape(groups, nv, rows_per, kp1, p.N)
+        r = 0
+        for c in range(kp1):
+            bl, lv = p.component_gadgets[c]
+            for j in range(lv):
+                raw[:, v - 1, r, c, 0] += m * np.uint32(
+                    1 << (32 - bl * (j + 1))
+                )
+                r += 1
     fwd, _ = _keygen_cpu_jit(p.N)
     bsk_ntt = fwd(raw)
     primes = tab.primes.reshape(NUM_PRIMES, 1).astype(np.uint64)

@@ -99,6 +99,18 @@ def _reduce_chain(s, max_terms: int, p: int):
     return s
 
 
+
+def _digit_residues(d, bl: int, p: int, ip: float):
+    """Signed gadget digit (int32, |d| <= 2^(bl-1)) -> residue in [0, p).
+
+    Cheap single-select when the digit magnitude fits below the prime;
+    the approximate-gadget mask base can be 2^16 (digits +-2^15), which
+    exceeds the smallest NTT prime (12289) — reduce via _redu24 there."""
+    if (1 << (bl - 1)) < p:
+        return jnp.where(d < 0, d + p, d).astype(jnp.uint32)
+    u = (d + jnp.int32(1 << 15)).astype(jnp.uint32)  # [0, 2^16]
+    return _msub(_redu24(u, p, ip), jnp.uint32((1 << 15) % p), p)
+
 def _rollS(x, s: int):  # sublanes (jB), axis -2
     return pltpu.roll(x, s % x.shape[-2], axis=x.ndim - 2)
 
@@ -388,8 +400,8 @@ def _make_kernel(params: TfheParams, g_tile: int):
     N, k, n = params.N, params.k, params.n
     N2 = N // N1
     kp1 = k + 1
-    levels = params.pbs_level
-    rows_tot = kp1 * levels
+    gadgets = params.component_gadgets  # per-component (base_log, levels)
+    rows_tot = params.gadget_rows
     tab = get_tables(N)
     PRIMES = tuple(int(p) for p in tab.primes)
     INV_P = tuple(1.0 / p for p in PRIMES)
@@ -448,14 +460,20 @@ def _make_kernel(params: TfheParams, g_tile: int):
         else:
             rot = [_negacyclic_rotate(a, bits, N, g_tile) for a in acc]
         digs = []
+        dig_bl = []
         for c in range(kp1):
-            digs.extend(_decompose(rot[c] - acc[c], params.pbs_base_log, levels))
+            bl_c, lv_c = gadgets[c]
+            digs.extend(_decompose(rot[c] - acc[c], bl_c, lv_c))
+            dig_bl.extend([bl_c] * lv_c)
 
         conv_ntt = [[None] * len(PRIMES) for _ in range(kp1)]
         fwd = [[None] * len(PRIMES) for _ in range(rows_tot)]
         for pi, p in enumerate(PRIMES):
             stacked = jnp.concatenate(
-                [jnp.where(d < 0, d + p, d).astype(jnp.uint32) for d in digs],
+                [
+                    _digit_residues(d, bl, p, INV_P[pi])
+                    for d, bl in zip(digs, dig_bl)
+                ],
                 axis=1,
             )  # [N2, rows*L]
             if "nosub8" in ABLATE:
@@ -567,8 +585,8 @@ def _make_kernel_mb(params: TfheParams, g_tile: int, ablate: frozenset = frozens
     nv = 1 << g
     N2 = N // N1
     kp1 = k + 1
-    levels = params.pbs_level
-    rows_tot = kp1 * levels
+    gadgets = params.component_gadgets  # per-component (base_log, levels)
+    rows_tot = params.gadget_rows
     L2N = N.bit_length()  # exponents live in [0, 2N)
     tab = get_tables(N)
     PRIMES = tuple(int(p) for p in tab.primes)
@@ -659,14 +677,20 @@ def _make_kernel_mb(params: TfheParams, g_tile: int, ablate: frozenset = frozens
 
         # --- decompose acc directly (the external product REPLACES it)
         digs = []
+        dig_bl = []
         for c in range(kp1):
-            digs.extend(_decompose(acc[c], params.pbs_base_log, levels))
+            bl_c, lv_c = gadgets[c]
+            digs.extend(_decompose(acc[c], bl_c, lv_c))
+            dig_bl.extend([bl_c] * lv_c)
 
         # --- forward NTT of the decomposed rows (same stages as single-bit)
         fwd = [[None] * NP for _ in range(rows_tot)]
         for pi, p in enumerate(PRIMES):
             stacked = jnp.concatenate(
-                [jnp.where(d < 0, d + p, d).astype(jnp.uint32) for d in digs],
+                [
+                    _digit_residues(d, bl, p, INV_P[pi])
+                    for d, bl in zip(digs, dig_bl)
+                ],
                 axis=1,
             )  # [N2, rows*L]
             s1 = _sublane8_fwd(
@@ -688,8 +712,8 @@ def _make_kernel_mb(params: TfheParams, g_tile: int, ablate: frozenset = frozens
                 fwd[r][pi] = f[:, r * L : (r + 1) * L]
 
         # --- pointwise: T_v = sum_r f_r (.) BSK_v[r, c2]; then
-        #     result = T_0 + sum_{v>=1} P_v (.) T_v
-        nslab = nv * rows_tot * kp1 * NP
+        #     result = sum_{v>=1} P_v (.) T_v (identity added post-CRT)
+        nslab = (nv - 1) * rows_tot * kp1 * NP
         if "noexp" in ablate:
             bsk_exp = jnp.ones((nslab, N2, L), jnp.uint32)
             bsk_sh_exp = jnp.ones((nslab, N2, L), jnp.uint32)
@@ -707,25 +731,26 @@ def _make_kernel_mb(params: TfheParams, g_tile: int, ablate: frozenset = frozens
                     conv_ntt[c2][pi] = fwd[0][pi]
                     continue
                 s = None
-                for v in range(nv):
+                for v in range(1, nv):
                     t_acc = None
                     for r in range(rows_tot):
-                        idx = ((v * rows_tot + r) * kp1 + c2) * NP + pi
+                        idx = (
+                            ((v - 1) * rows_tot + r) * kp1 + c2
+                        ) * NP + pi
                         t = _mshoup(
                             fwd[r][pi], bsk_exp[idx], bsk_sh_exp[idx], p
                         )
                         t_acc = t if t_acc is None else t_acc + t
                     t_acc = _reduce_chain(t_acc, rows_tot + 1, p)
-                    if v == 0:
-                        term = t_acc
-                    elif "nogmul" in ablate:
+                    if "nogmul" in ablate:
                         term = _madd(pv[v][pi], t_acc, p)
                     else:
                         term = _gmul(pv[v][pi], t_acc, p, INV_P[pi])
                     s = term if s is None else _madd(s, term, p)
                 conv_ntt[c2][pi] = s
 
-        # --- inverse NTT + CRT; result REPLACES the accumulator
+        # --- inverse NTT + CRT; the external product is ADDED to the
+        # accumulator (additive-identity CMux; v=0 is never keyed)
         outs = []
         for pi, p in enumerate(PRIMES):
             stacked = jnp.concatenate(
@@ -749,7 +774,9 @@ def _make_kernel_mb(params: TfheParams, g_tile: int, ablate: frozenset = frozens
             outs.append(v)
         for c in range(kp1):
             res = [outs[pi][:, c * L : (c + 1) * L] for pi in range(NP)]
-            acc_scr[c] = _crt_fast(res, CRT_W_MOD, CRT_FRAC, PROD_MOD)
+            acc_scr[c] = acc[c] + _crt_fast(
+                res, CRT_W_MOD, CRT_FRAC, PROD_MOD
+            )
 
         @pl.when(j == n // g - 1)
         def _():
@@ -837,8 +864,8 @@ def _make_kernel_fs_mb(
     nv = 1 << g
     N2 = N // N1
     kp1 = k + 1
-    levels = params.pbs_level
-    rows_tot = kp1 * levels
+    gadgets = params.component_gadgets  # per-component (base_log, levels)
+    rows_tot = params.gadget_rows
     L2N = N.bit_length()
     tab = get_tables(N)
     PRIMES = tuple(int(p) for p in tab.primes)
@@ -925,18 +952,15 @@ def _make_kernel_fs_mb(
         def _digits():
             digs = [[] for _ in range(N1)]
             for c in range(kp1):
+                bl_c, lv_c = gadgets[c]
                 for t in range(N1):
                     if "nodec" in ablate:  # probe: decomposition cost
                         d = (acc_scr[c, t] >> jnp.uint32(24)).astype(
                             jnp.int32
                         )
-                        digs[t].extend([d] * levels)
+                        digs[t].extend([d] * lv_c)
                     else:
-                        digs[t].extend(
-                            _decompose(
-                                acc_scr[c, t], params.pbs_base_log, levels
-                            )
-                        )
+                        digs[t].extend(_decompose(acc_scr[c, t], bl_c, lv_c))
             return digs
 
         # "digrec": recompute the digits inside each prime section instead
@@ -971,12 +995,14 @@ def _make_kernel_fs_mb(
             dchunk = ((1 << 24) - hp - 2 * p) // ((hp + 1) * 128)
 
             dl = _digits() if "digrec" in ablate else digs
+            # per-row gadget bases (c-major, matching _digits' row order)
+            row_bl = [bl for bl, lv in gadgets for _ in range(lv)]
             xs = []
             for t in range(N1):
                 stacked = jnp.concatenate(
                     [
-                        jnp.where(d < 0, d + p, d).astype(jnp.uint32)
-                        for d in dl[t]
+                        _digit_residues(d, bl, p, ip)
+                        for d, bl in zip(dl[t], row_bl)
                     ],
                     axis=1,
                 )  # [N2, rows*G]
@@ -1047,13 +1073,46 @@ def _make_kernel_fs_mb(
                 S = [
                     [[None, None] for _ in range(kp1)] for _ in range(nv)
                 ]
+                if "nobsk" not in ablate:
+                    # r-contiguous slab: ONE [N2, rows] slice per (v, c2);
+                    # lane extracts then come from registers instead of
+                    # per-term strided VMEM column reads (+3.6% at k=3)
+                    splits = [
+                        _split256(fwd_pi[r][t]) for r in range(rows_tot)
+                    ]
+                    for v in range(1, nv):
+                        for c2 in range(kp1):
+                            base = (
+                                (((v - 1) * kp1 + c2) * NP + pi) * N1 + t
+                            ) * rows_tot
+                            chk = bsk_ref[0][:, base : base + rows_tot]
+                            slo = shi = None
+                            cc = 0
+                            for r in range(rows_tot):
+                                b = jnp.broadcast_to(
+                                    chk[:, r : r + 1], (N2, G)
+                                )
+                                flo, fhi = splits[r]
+                                plo = flo * b
+                                phi = fhi * b
+                                slo = plo if slo is None else slo + plo
+                                shi = phi if shi is None else shi + phi
+                                cc += 1
+                                if cc == chunk and r + 1 < rows_tot:
+                                    slo = _redfbt(slo, p, ip)
+                                    shi = _redfbt(shi, p, ip)
+                                    cc = 1
+                            S[v][c2][0], S[v][c2][1] = slo, shi
                 cnt = 0
-                for r in range(rows_tot):
+                for r in range(rows_tot if "nobsk" in ablate else 0):
                     flo, fhi = _split256(fwd_pi[r][t])
-                    for v in range(nv):
+                    # v=0 (GGSW of 1) is never keyed: the identity
+                    # part of the CMux is ADDED after the CRT stage
+                    # instead - 25% fewer pointwise terms / BSK loads
+                    for v in range(1, nv):
                         for c2 in range(kp1):
                             cidx = (
-                                ((v * rows_tot + r) * kp1 + c2) * NP
+                                (((v - 1) * rows_tot + r) * kp1 + c2) * NP
                                 + pi
                             ) * N1 + t
                             if "nobsk" in ablate:  # probe: load cost
@@ -1070,15 +1129,16 @@ def _make_kernel_fs_mb(
                                 S[v][c2][1] = S[v][c2][1] + phi
                     cnt += 1
                     if cnt == chunk and r + 1 < rows_tot:
-                        for v in range(nv):
+                        for v in range(1, nv):
                             for c2 in range(kp1):
                                 S[v][c2][0] = _redfbt(S[v][c2][0], p, ip)
                                 S[v][c2][1] = _redfbt(S[v][c2][1], p, ip)
                         cnt = 1
-                # subset combination: T_0 + sum_{v>=1} P_v (.) T_v with
+                # subset combination: sum_{v>=1} P_v (.) T_v with
                 # T_v as reduced base-256 digit pairs accumulated into
                 # three unreduced digit lanes D0 + 256*D1 + 2^16*D2
-                for v in range(nv):
+                # (the identity term is added post-CRT, not here)
+                for v in range(1, nv):
                     for c2 in range(kp1):
                         if "nored" in ablate:  # probe: Barrett cost
                             tlo, thi = S[v][c2]
@@ -1086,24 +1146,29 @@ def _make_kernel_fs_mb(
                             tlo = _redfbt(S[v][c2][0], p, ip)
                             thi = _redfbt(S[v][c2][1], p, ip)
                         d, nn = D[c2], Nc[c2]
-                        if v == 0:
-                            d[0], d[1] = tlo, thi
-                        elif "nogmul" in ablate:  # probe: subset cost
-                            d[0] = d[0] + tlo
-                            d[1] = d[1] + thi
+                        if "nogmul" in ablate:  # probe: subset cost
+                            if d[0] is None:
+                                d[0], d[1] = tlo, thi
+                            else:
+                                d[0] = d[0] + tlo
+                                d[1] = d[1] + thi
                         else:
-                            if nn[1] + 2 > dchunk:
+                            if d[1] is not None and nn[1] + 2 > dchunk:
                                 d[1] = _redfbt(d[1], p, ip)
                                 nn[1] = 0
-                            if nn[0] + 1 > dchunk:
+                            if d[0] is not None and nn[0] + 1 > dchunk:
                                 d[0] = _redfbt(d[0], p, ip)
                                 nn[0] = 0
                             if d[2] is not None and nn[2] + 1 > dchunk:
                                 d[2] = _redfbt(d[2], p, ip)
                                 nn[2] = 0
                             p0l, p1l = pvt[v]
-                            d[0] = d[0] + p0l * tlo
-                            d[1] = d[1] + p1l * tlo + p0l * thi
+                            if d[0] is None:
+                                d[0] = p0l * tlo
+                                d[1] = p1l * tlo + p0l * thi
+                            else:
+                                d[0] = d[0] + p0l * tlo
+                                d[1] = d[1] + p1l * tlo + p0l * thi
                             d[2] = (
                                 p1l * thi
                                 if d[2] is None
@@ -1175,15 +1240,15 @@ def _make_kernel_fs_mb(
             for t in range(N1):
                 if "crtacc" in ablate:
                     if "nocrt" in ablate:
-                        acc_scr[c, t] = crt_i[c][t]
+                        acc_scr[c, t] = acc_scr[c, t] + crt_i[c][t]
                     else:
                         kq = (
                             jnp.floor(crt_f[c][t] + 0.5)
                             .astype(jnp.int32)
                             .astype(jnp.uint32)
                         )
-                        acc_scr[c, t] = crt_i[c][t] - kq * jnp.uint32(
-                            PROD_MOD
+                        acc_scr[c, t] = acc_scr[c, t] + (
+                            crt_i[c][t] - kq * jnp.uint32(PROD_MOD)
                         )
                     continue
                 res = [
@@ -1191,9 +1256,13 @@ def _make_kernel_fs_mb(
                     for pi in range(NP)
                 ]
                 if "nocrt" in ablate:  # probe: CRT recombination cost
-                    acc_scr[c, t] = res[0] + res[1] + res[2] + res[3]
+                    acc_scr[c, t] = (
+                        acc_scr[c, t] + res[0] + res[1] + res[2] + res[3]
+                    )
                 else:
-                    acc_scr[c, t] = _crt_fast(
+                    # additive-identity CMux: the v=0 GGSW-of-1 product
+                    # is exactly acc, so ADD the external product here
+                    acc_scr[c, t] = acc_scr[c, t] + _crt_fast(
                         res, CRT_W_MOD, CRT_FRAC, PROD_MOD
                     )
 
@@ -1248,7 +1317,7 @@ def blind_rotate_mxu(
     N, k, n = params.N, params.k, params.n
     N2 = N // N1
     kp1 = k + 1
-    rows = kp1 * params.pbs_level
+    rows = params.gadget_rows
     NP = len(primes_for(N))
     G = lwe_in.shape[0]
     if testv.ndim == 1:
@@ -1412,7 +1481,7 @@ def blind_rotate_mxu_mb(
     groups = n // g
     N2 = N // N1
     kp1 = k + 1
-    rows = kp1 * params.pbs_level
+    rows = params.gadget_rows
     NP = len(primes_for(N))
     L2N = N.bit_length()
     G = lwe_in.shape[0]
@@ -1493,12 +1562,12 @@ def blind_rotate_mxu_mb(
             cmap((NP, L2N, N2, L)),
             cmap((NP, L2N, N2, L)),
             pl.BlockSpec(
-                (1, nv, rows, kp1, NP, N2, N1),
+                (1, nv - 1, rows, kp1, NP, N2, N1),
                 lambda i, j: (j, 0, 0, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, nv, rows, kp1, NP, N2, N1),
+                (1, nv - 1, rows, kp1, NP, N2, N1),
                 lambda i, j: (j, 0, 0, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -1539,13 +1608,15 @@ def blind_rotate_mxu_mb(
 def mxu_server_key_fs(dsk):
     """Grouped BSK in frequency-in-sublanes layout, as ONE balanced-signed
     f32 value per entry (|B| <= p//2 < 2^16, exactly representable):
-    [groups, N2, nv*rows*kp1*NP*N1], col = (((v*rows+r)*kp1+c2)*NP+pi)*N1+fA.
+    [groups, N2, (nv-1)*rows*kp1*NP*N1], col =
+    (((((v-1)*kp1+c2)*NP+pi)*N1+fA)*rows + r
+    (v >= 1: the empty subset is handled additively in the kernel).
     The kernel splits the *NTT outputs* into 8-bit limbs instead (once per
     decomposition row, reused across all nv*kp1 terms), so each pointwise
     term costs ONE column broadcast of this slab rather than a lo/hi pair —
     and the slab's VMEM/HBM footprint halves."""
     cache = _mxu_key_cache()
-    key = ("fs", id(dsk.bsk_ntt))
+    key = ("fs-rc", id(dsk.bsk_ntt))
     if key not in cache:
         t = mxu_ntt.mxu_tables(dsk.params.N)
         perm = jnp.asarray(t["perm_from_std"])
@@ -1560,7 +1631,11 @@ def mxu_server_key_fs(dsk):
             b = b_u32.astype(jnp.int32)
             bal = jnp.where(b > pr // 2, b - pr, b).astype(jnp.float32)
             x = bal[..., perm].reshape(groups, nv, rows, kp1, NP, N1, N2)
-            x = jnp.transpose(x, (0, 6, 1, 2, 3, 4, 5))
+            # r-contiguous: col = ((((v*kp1+c2)*NP+pi)*N1+t)*rows + r:
+            # one [N2, rows] slice feeds a (v, c2) term group in the
+            # kernel, so lane extracts come from registers instead of
+            # per-term strided VMEM column reads (+3.6% measured at k=3)
+            x = jnp.transpose(x, (0, 6, 1, 3, 4, 5, 2))
             return x.reshape(groups, N2, nv * rows * kp1 * NP * N1)
 
         cache[key] = make(dsk.bsk_ntt)
@@ -1705,7 +1780,7 @@ def blind_rotate_fs_mb(
     groups = n // g
     N2 = N // N1
     kp1 = k + 1
-    rows = kp1 * params.pbs_level
+    rows = params.gadget_rows
     NP = len(primes_for(N))
     L2N = N.bit_length()
     G = lwe_in.shape[0]
@@ -1746,7 +1821,7 @@ def blind_rotate_fs_mb(
             shape, lambda i, j, _nd=nd: (0,) * _nd, memory_space=pltpu.VMEM
         )
 
-    CC = nv * rows * kp1 * NP * N1
+    CC = (nv - 1) * rows * kp1 * NP * N1
     out = pl.pallas_call(
         kernel,
         grid=(tiles, groups),
@@ -1824,7 +1899,15 @@ def bootstrap_mxu(
             # lane width of every tile array: the kernel's live set (fwd
             # rows, digits, inverse accumulators) scales with N2 * g_tile,
             # so larger rings take narrower tiles to stay inside VMEM
-            g_tile = 8 if interpret else (256 if dsk.params.N <= 1024 else 128)
+            g_tile = (
+                8
+                if interpret
+                else (
+                    512
+                    if dsk.params.N <= 512
+                    else (256 if dsk.params.N <= 1024 else 128)
+                )
+            )
         acc = blind_rotate_fs_mb(
             dsk.params, bsk, lwe_in, testv,
             g_tile=g_tile, interpret=interpret,

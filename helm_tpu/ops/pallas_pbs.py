@@ -193,6 +193,21 @@ def _garner(res, g, primes):
     return jnp.where(v3 > jnp.uint32(g.half_p3), x - jnp.uint32(g.prod_mod_q), x)
 
 
+
+def _digit_residues(d, bl: int, p: int):
+    """Signed gadget digit (int32, |d| <= 2^(bl-1)) -> residue in [0, p).
+
+    The approximate-gadget mask base can reach 2^16 (digits +-2^15),
+    exceeding the smallest NTT prime (12289): reduce by conditional
+    subtraction (u < 8p for every prime) then shift off the +2^15 bias."""
+    if (1 << (bl - 1)) < p:
+        return jnp.where(d < 0, d + p, d).astype(jnp.uint32)
+    u = (d + jnp.int32(1 << 15)).astype(jnp.uint32)  # [0, 2^16] < 8p
+    for m in (4, 2, 1):
+        u = jnp.where(u >= m * p, u - jnp.uint32(m * p), u)
+    return _sub_mod(u, jnp.uint32((1 << 15) % p), p)
+
+
 def _negacyclic_rotate(x, amt, N: int):
     """x: [P, Gt, N]; amt: int32 [Gt] in [0, 2N) — barrel rotator."""
     lanes = _lane_iota(x.shape, N)
@@ -231,8 +246,8 @@ def _decompose(v, base_log: int, levels: int):
 def _make_kernel(params: TfheParams, tab: NttTables, n_inv, n_inv_sh, g_tile: int):
     N, k, n = params.N, params.k, params.n
     kp1 = k + 1
-    levels = params.pbs_level
-    rows = kp1 * levels
+    gadgets = params.component_gadgets  # per-component (base_log, levels)
+    rows = params.gadget_rows
     PRIMES = tuple(int(p) for p in tab.primes)
     garner_c = tab.garner
 
@@ -265,13 +280,11 @@ def _make_kernel(params: TfheParams, tab: NttTables, n_inv, n_inv_sh, g_tile: in
         # decompose each poly -> rows in order c*levels + lvl
         row_res = []  # per row: per prime residue arrays [Gt, N]
         for c in range(kp1):
-            digs = _decompose(diff[c], params.pbs_base_log, levels)
+            bl_c, lv_c = gadgets[c]
+            digs = _decompose(diff[c], bl_c, lv_c)
             for d in digs:
                 row_res.append(
-                    [
-                        jnp.where(d < 0, d + p, d).astype(jnp.uint32)
-                        for p in PRIMES
-                    ]
+                    [_digit_residues(d, bl_c, p) for p in PRIMES]
                 )
         # forward NTTs once per (row, prime)
         for r_i in range(rows):
@@ -337,7 +350,7 @@ def blind_rotate_pallas(
 
     N, k, n = params.N, params.k, params.n
     kp1 = k + 1
-    rows = kp1 * params.pbs_level
+    rows = params.gadget_rows
     NP = len(primes_for(N))
     G = lwe_in.shape[0]
     if testv.ndim == 1:

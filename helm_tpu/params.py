@@ -47,6 +47,41 @@ class TfheParams:
     # PARAM_MULTI_BIT_..._GROUP_3 used by the reference's arith mode,
     # src/bin/helm.rs:81-88). Requires n % grouping == 0.
     grouping: int = 1
+    # approximate gadget decomposition (the original TFHE paper's trick):
+    # the k GLWE *mask* components of the accumulator may use a wider /
+    # shallower gadget than the body — their decomposition residual only
+    # enters the noise through the GLWE secret (variance ~ kN * eps_m^2 /24
+    # per step), so fewer rows can suffice. None = same gadget as the body.
+    # Cuts external-product rows from (k+1)*l to k*l_m + l.
+    # EVALUATED AND UNUSED IN PRODUCTION at q=2^32: with the sigma>=4
+    # discrete-sampling floor, every production set is already at its noise
+    # edge (modswitch + margin), and no (mask_base, mask_level) with fewer
+    # rows keeps per-PBS failure under 2^-32 (swept over bases 2^6..2^16,
+    # all levels, all nine production sets). The machinery stays (tested in
+    # tests/test_multibit.py) because q=2^64-limb sets would afford it.
+    pbs_mask_base_log: int | None = None
+    pbs_mask_level: int | None = None
+
+    @property
+    def mask_base_log(self) -> int:
+        return self.pbs_mask_base_log or self.pbs_base_log
+
+    @property
+    def mask_level(self) -> int:
+        return self.pbs_mask_level or self.pbs_level
+
+    @property
+    def component_gadgets(self) -> tuple:
+        """Per-GLWE-component (base_log, levels): k mask rows then body."""
+        return tuple(
+            [(self.mask_base_log, self.mask_level)] * self.k
+            + [(self.pbs_base_log, self.pbs_level)]
+        )
+
+    @property
+    def gadget_rows(self) -> int:
+        """Total external-product rows: k*mask_level + pbs_level."""
+        return self.k * self.mask_level + self.pbs_level
 
     @property
     def big_n(self) -> int:
@@ -91,21 +126,36 @@ class TfheParams:
         to the g=1 form, whose single (X^a-1) carries the factor 2 already):
         total multiplier (3^g - 1) / (2g) vs single-bit. The rounding tail
         is one acc decomposition per step, so it shrinks by g.
+
+        The kernels use the additive-identity CMux form (the empty-subset
+        GGSW of 1 is never keyed or multiplied — server_key.py), so the
+        model's exclusion of a v=0 noise term matches the implementation
+        exactly.
         """
-        b2 = float(self.pbs_base) ** 2
         g = self.grouping
         mb_scale = (3.0**g - 1.0) / (2.0 * g)
+        # sum of B_r^2 over all gadget rows (mask rows may use a wider,
+        # shallower approximate gadget — component_gadgets)
+        sum_b2 = sum(
+            lv * float(1 << bl) ** 2 for bl, lv in self.component_gadgets
+        )
         main = (
             self.n
             * mb_scale
-            * (self.k + 1)
-            * self.pbs_level
             * self.N
-            * (b2 / 12.0)
+            * (sum_b2 / 12.0)
             * (self.glwe_noise_std**2)
         )
-        eps = float(Q) / (float(self.pbs_base) ** self.pbs_level)
-        tail = (self.n / g) * (1.0 + self.k * self.N) * (eps**2) / 24.0
+        # decomposition-rounding residual: the body residual enters
+        # directly; each mask residual enters through the GLWE secret
+        # (N coefficients, binary)
+        eps_b = float(Q) / (float(self.pbs_base) ** self.pbs_level)
+        eps_m = float(Q) / (float(1 << self.mask_base_log) ** self.mask_level)
+        tail = (
+            (self.n / g)
+            * (eps_b**2 + self.k * self.N * eps_m**2)
+            / 24.0
+        )
         return main + tail
 
     def var_ks(self) -> float:
@@ -297,6 +347,61 @@ TEST_PARAMS_NOISY = TfheParams(
     glwe_noise_std=4.0,
     msg_space_log=3,
     message_bits=1,
+)
+
+#: Noisy multibit gates set for the DEFAULT test suite: real sigma>0
+#: decryption margins through the production (grouping-2) code path at
+#: test-scale dimensions. Failure 2^-138 at XOR growth — never flakes.
+TEST_NOISY_GATES_MB = TfheParams(
+    name="test_noisy_gates_mb",
+    n=64,
+    k=1,
+    N=256,
+    pbs_base_log=6,
+    pbs_level=3,
+    ks_base_log=2,
+    ks_level=7,
+    lwe_noise_std=4.0,
+    glwe_noise_std=4.0,
+    msg_space_log=3,
+    message_bits=1,
+    grouping=2,
+)
+
+#: Noisy LUT-mode set (3-bit messages, grouping 2). Failure 2^-61 at the
+#: 3-input packing growth 21.
+TEST_NOISY_LUT = TfheParams(
+    name="test_noisy_lut",
+    n=32,
+    k=1,
+    N=256,
+    pbs_base_log=8,
+    pbs_level=2,
+    ks_base_log=2,
+    ks_level=7,
+    lwe_noise_std=4.0,
+    glwe_noise_std=2.0,
+    msg_space_log=4,
+    message_bits=3,
+    grouping=2,
+)
+
+#: Noisy arith-mode set (2-bit blocks + carry, grouping 2). Failure 2^-35
+#: at the mux-bivariate growth 18.
+TEST_NOISY_ARITH = TfheParams(
+    name="test_noisy_arith",
+    n=32,
+    k=1,
+    N=512,
+    pbs_base_log=8,
+    pbs_level=2,
+    ks_base_log=2,
+    ks_level=7,
+    lwe_noise_std=4.0,
+    glwe_noise_std=2.0,
+    msg_space_log=5,
+    message_bits=2,
+    grouping=2,
 )
 
 #: TPU-tuned gates set: level 2 with a wider base cuts the per-iteration
@@ -567,6 +672,9 @@ ALL_PARAMS = {
         TEST_PARAMS_LUT,
         TEST_PARAMS_ARITH,
         TEST_PARAMS_NOISY,
+        TEST_NOISY_GATES_MB,
+        TEST_NOISY_LUT,
+        TEST_NOISY_ARITH,
         GATES_TPU,
         GATES_MB2,
         GATES_TPU_MB2,

@@ -22,7 +22,7 @@ def test_multibit_bsk_shape(mb_keys):
     p, ck, dsk = mb_keys
     g = p.grouping
     rows = (p.k + 1) * p.pbs_level
-    assert dsk.bsk_ntt.shape == (p.n // g, 1 << g, rows, p.k + 1, 4, p.N)
+    assert dsk.bsk_ntt.shape == (p.n // g, (1 << g) - 1, rows, p.k + 1, 4, p.N)
 
 
 def test_multibit_gate_truth_tables(mb_keys):
@@ -58,7 +58,7 @@ def test_k3_glwe_bootstrap_jnp_and_mxu():
     ck = lwe.keygen(p, seed=31)
     dsk = pbs_jnp.DeviceServerKey.from_host(server_key.gen_server_key(ck))
     rows = (p.k + 1) * p.pbs_level
-    assert dsk.bsk_ntt.shape == (p.n // 2, 4, rows, p.k + 1, 4, p.N)
+    assert dsk.bsk_ntt.shape == (p.n // 2, 3, rows, p.k + 1, 4, p.N)
     q8 = 1 << 29
     combos = [(a, b) for a in (False, True) for b in (False, True)]
     c1 = lwe.encrypt(ck, lwe.encode_bool([a for a, _ in combos]))
@@ -76,6 +76,38 @@ def test_k3_glwe_bootstrap_jnp_and_mxu():
         assert got == exp, name
         out_mxu = np.asarray(bootstrap_mxu(dsk, lin, testv, interpret=True))
         assert (out_mxu == out).all(), name
+
+
+def test_approximate_mask_gadget():
+    """Approximate gadget decomposition (mask components on a wider,
+    shallower gadget — the original TFHE paper's trick; see params.py):
+    correct through the jnp pipeline and bit-identical on the MXU kernel,
+    at k=3 and k=1, including the base-2^16 digits that exceed the
+    smallest NTT prime (the _digit_residues full-reduction path)."""
+    from dataclasses import replace
+
+    from helm_tpu.ops.mxu_pbs import bootstrap_mxu
+
+    q8 = 1 << 29
+    combos = [(a, b) for a in (False, True) for b in (False, True)]
+    for base in (P.TEST_PARAMS_K3, P.TEST_PARAMS_MB):
+        p = replace(base, pbs_mask_base_log=16, pbs_mask_level=1)
+        assert p.gadget_rows == base.k * 1 + base.pbs_level
+        ck = lwe.keygen(p, seed=31)
+        dsk = pbs_jnp.DeviceServerKey.from_host(server_key.gen_server_key(ck))
+        c1 = lwe.encrypt(ck, lwe.encode_bool([a for a, _ in combos]))
+        c2 = lwe.encrypt(ck, lwe.encode_bool([b for _, b in combos]))
+        testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
+        lin = jnp.asarray(
+            (c1 + c2 - lwe.trivial(p, np.full(4, np.uint32(q8)))).astype(
+                np.uint32
+            )
+        )
+        out = np.asarray(jax.jit(pbs_jnp.bootstrap)(dsk, lin, testv))
+        got = list(lwe.decode_bool(lwe.decrypt_phase(ck, out)))
+        assert got == [a and b for a, b in combos], p.name
+        out_mxu = np.asarray(bootstrap_mxu(dsk, lin, testv, interpret=True))
+        assert (out_mxu == out).all(), p.name
 
 
 @pytest.mark.slow
