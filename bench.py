@@ -3,13 +3,22 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline anchor: the reference (TrustworthyComputing/helm) evaluates gates
-with tfhe-rs CPU gate bootstraps (~10 ms each single-threaded on a server
-core; rayon-parallel across cores — reference circuit.rs:531). The repo
-publishes no numbers and Rust is unavailable in this image to measure it, so
-the anchor is a documented estimate: 64 cores x ~100 bootstraps/s =
-6400 bootstraps/s for a well-provisioned HELM CPU host (consistent with
-tfhe-rs public benchmarks for default boolean parameters).
+Default parameter set: GATES_128_K3 — the ≥100-bit-core-SVP (≈128-bit
+lattice-estimator-equivalent) gates family, i.e. the same security class
+as the reference's flagship CPU gates mode (tfhe-rs boolean defaults,
+reference src/bin/helm.rs:241). BENCH_PARAMS=GATES_TPU_MB2 benches the
+reference-GPU-mirroring weak set (src/bin/helm.rs:141-146) instead;
+PERFORMANCE.md records both.
+
+Baseline anchor: the reference evaluates gates with tfhe-rs CPU gate
+bootstraps (~10 ms each single-threaded on a server core; rayon-parallel
+across cores — reference circuit.rs:531). The repo publishes no numbers
+and Rust/network are unavailable in this image to measure it, so the
+anchor is a documented estimate generous to the baseline: 64 cores x
+~100 bootstraps/s = 6400 bootstraps/s at PERFECT scaling on a large host.
+tools/baseline_cpu/ pins the full reproduction recipe (tfhe-rs 0.4.1,
+the reference's exact hot loop) that replaces this with a measurement on
+any host with Rust + network — see BASELINE.md "Anchor status".
 """
 
 import json
@@ -51,11 +60,11 @@ def main():
     from helm_tpu.fhe.server_key import gen_server_key
 
     G = int(os.environ.get("BENCH_BATCH", "1024"))
-    iters = int(os.environ.get("BENCH_ITERS", "4"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
     backend = os.environ.get("BENCH_BACKEND", "mxu")  # jnp | pallas | mxu
-    # default: multi-bit (grouping 2) gates set -> the frequency-in-sublanes
-    # MXU kernel, the fastest measured path (~3.4k bs/s vs ~1.6k single-bit)
-    p = getattr(P, os.environ.get("BENCH_PARAMS", "GATES_TPU_MB2"))
+    # default: the ≥100-bit-secure k=3 multi-bit gates set on the
+    # frequency-in-sublanes MXU kernel (see module docstring)
+    p = getattr(P, os.environ.get("BENCH_PARAMS", "GATES_128_K3"))
 
     t = time.perf_counter()
     # multibit keygen takes minutes; it is deterministic in (params, seed),

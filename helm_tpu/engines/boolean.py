@@ -15,6 +15,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import time
+
 import numpy as np
 
 from ..circuit.graph import Circuit
@@ -422,6 +424,7 @@ class BooleanEngine:
     # -- evaluation ----------------------------------------------------
     def evaluate(self, wires: jax.Array, verbose: bool = False) -> jax.Array:
         assert self.plan is not None
+        self._lvl_t0 = time.perf_counter() if verbose else None
         if self._scan_levels is not None:
             testv = (
                 self._testv_bank if self.mode == "lut" else self._testv_gates
@@ -472,9 +475,22 @@ class BooleanEngine:
                 )
             if verbose:
                 ns = self.plan.levels[i].num_slots
+                extra = ""
+                if self.mode == "lut" and ns:
+                    # amortized per-LUT-gate PBS time (reference prints a
+                    # per-gate "PBS time: {} us" at src/gates.rs:293-302;
+                    # here gates of a level share one batched launch)
+                    import numpy as _np
+
+                    _np.asarray(wires[0, 0])  # sync this level's launch
+                    now = time.perf_counter()
+                    if self._lvl_t0 is not None:
+                        us = (now - self._lvl_t0) * 1e6 / ns
+                        extra = f"; PBS time: {us:.0f} us/gate amortized"
+                    self._lvl_t0 = now
                 print(
                     f"  Evaluated gates in level [{i + 1}/{total}]"
-                    f" ({ns} PBS slots in one launch)"
+                    f" ({ns} PBS slots in one launch){extra}"
                 )
         return wires
 

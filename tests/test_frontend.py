@@ -183,7 +183,7 @@ def test_chi_squared_recorded_vectors():
 
     nl = read_verilog_file("benchmarks/netlists/chi_squared_arith.v", True)
     c = Circuit.from_netlist(nl)
-    for i in (1, 2):
+    for i in (1, 2, 3, 4):
         ins = csv_io.read_input_wires(
             f"benchmarks/test-cases/chi_squared_arith_{i}.inputs.csv", "u32"
         )
@@ -327,3 +327,46 @@ def test_package_from_import_params():
     )
     assert r.returncode == 0, r.stderr
     assert "test_tiny" in r.stdout
+
+
+def test_tfhers_interchange_roundtrip(tmp_path):
+    """Raw-LWE interchange for tfhe-rs cross-implementation vectors
+    (helm_tpu/io/tfhers_interop.py; Rust side pinned in
+    tools/tfhers_interop/). Bit-exact round trip incl. the npz<->raw
+    converter, plus header validation."""
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pytest
+
+    from helm_tpu import params as P
+    from helm_tpu.fhe import lwe
+    from helm_tpu.io.tfhers_interop import export_client, load_lwe, save_lwe
+
+    p = P.TEST_PARAMS
+    ck = lwe.keygen(p, seed=3)
+    bits = [False, True, True, False]
+    cts = lwe.encrypt(ck, lwe.encode_bool(bits))
+    npz = tmp_path / "x.npz"
+    export_client(str(npz), ck, cts, include_key=True)
+    got, key, hdr = load_lwe(str(npz), p)
+    assert (got == cts.astype(np.uint32)).all()
+    assert (key == ck.lwe_key).all()
+    assert hdr == {"n": p.n, "q_log2": 32, "msg_space_log": 3}
+    # decrypt from the file alone (what the Rust import side does)
+    phase = got[:, p.n] - (got[:, :p.n].astype(np.uint64) * key).sum(1).astype(np.uint32)
+    assert list(phase < (1 << 31)) == bits
+    # npz -> raw -> npz bit-exact
+    raw = tmp_path / "x.raw"
+    npz2 = tmp_path / "y.npz"
+    conv = "tools/tfhers_interop/npz2raw.py"
+    subprocess.run([sys.executable, conv, str(npz), str(raw)], check=True)
+    subprocess.run([sys.executable, conv, str(raw), str(npz2)], check=True)
+    got2, key2, hdr2 = load_lwe(str(npz2), p)
+    assert (got2 == got).all() and (key2 == key).all() and hdr2 == hdr
+    # header validation errors
+    bad = tmp_path / "bad.npz"
+    save_lwe(str(bad), p, cts)
+    with pytest.raises(ValueError):
+        load_lwe(str(bad), P.TEST_NOISY_LUT)  # dimension mismatch (n=32)

@@ -1,4 +1,9 @@
-"""BASELINE config: chi_squared arithmetic mode u32 on the real chip."""
+"""Arith-mode on-chip bench: chi_squared u32 by default (a BASELINE
+config), any arith netlist via NETLIST/WIDTH env (e.g. box_blur_arith.v).
+
+Env: PARAMS (helm_tpu.params name), BACKEND=jnp|mxu, BATCH (serving
+vectors per pass), NETLIST, WIDTH=u8..u128.
+"""
 import sys, pathlib, time, os
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 from helm_tpu.compile_cache import enable_compile_cache
@@ -13,14 +18,23 @@ if os.environ.get("BACKEND", "jnp") == "mxu":
     from helm_tpu.engines import radix
 
     radix.BACKEND[0] = "mxu"
-nl = read_verilog_file("benchmarks/netlists/chi_squared_arith.v", True)
+path = os.environ.get("NETLIST", "benchmarks/netlists/chi_squared_arith.v")
+width = os.environ.get("WIDTH", "u32")
+bits = int(width[1:])
+nl = read_verilog_file(path, True)
 t0 = time.time()
 pset = getattr(P, os.environ["PARAMS"]) if os.environ.get("PARAMS") else None
-e = ArithEngine("u32", params=pset, seed=11)  # default: production ARITH_PARAMS
+e = ArithEngine(width, params=pset, seed=11)  # default: production ARITH_PARAMS
 print(f"KeyGen {time.time()-t0:.1f}s", flush=True)
 e.compile(nl)
 B = int(os.environ.get("BATCH", "1"))  # >1 = batched serving, B vectors/pass
-base = {"n0": 10, "n1": 20, "n2": 30}
+if "chi_squared" in path:
+    base = {"n0": 10, "n1": 20, "n2": 30}  # the recorded-vector-1 inputs
+else:
+    base = {
+        w: (11 * j + 10) % (1 << min(bits, 16))
+        for j, w in enumerate(sorted(nl.inputs))
+    }
 vecs = [
     {k: v + 7 * i for k, v in base.items()} for i in range(B)
 ]
@@ -35,18 +49,19 @@ t0 = time.time()
 w2 = e.evaluate(w2)
 _ = np.asarray(w2)
 dt = time.time() - t0
+name = pathlib.Path(path).stem
 print(
-    f"steady-state chi_squared u32 eval: {dt:.2f}s"
+    f"steady-state {name} {width} eval: {dt:.2f}s"
     + (f" ({dt / B:.2f}s/vector at batch {B})" if B > 1 else ""),
     flush=True,
 )
 out = e.decrypt_outputs(w2)
-c = Circuit.from_netlist(read_verilog_file("benchmarks/netlists/chi_squared_arith.v", True))
+c = Circuit.from_netlist(read_verilog_file(path, True))
 outs = out if isinstance(out, list) else [out]
 ok = True
 for vi, o in enumerate(outs):
     exp = c.evaluate_arith(
-        c.initialize_wire_map(nl.wire_set, vecs[vi], default=0), 32
+        c.initialize_wire_map(nl.wire_set, vecs[vi], default=0), bits
     )
     ok = ok and all(o[w] == exp[w] for w in o)
 print("outputs:", outs[0], flush=True)
