@@ -72,13 +72,17 @@ def main():
     cache = os.environ.get("BENCH_KEY_CACHE", "/tmp")
     ckp = os.path.join(cache, f"bench_ck_{p.name}_s2024.npz") if cache else ""
     skp = os.path.join(cache, f"bench_sk_{p.name}_s2024.npz") if cache else ""
+    ck = sk = None
     if skp and os.path.exists(ckp) and os.path.exists(skp):
         from helm_tpu.fhe import keys as K
 
-        ck = K.load_client_key(ckp)
-        sk = K.load_server_key(skp)
-        print("[bench] keys loaded from cache", file=sys.stderr)
-    else:
+        try:
+            ck = K.load_client_key(ckp)
+            sk = K.load_server_key(skp)
+            print("[bench] keys loaded from cache", file=sys.stderr)
+        except ValueError as e:  # CRT prime set changed: regenerate
+            print(f"[bench] key cache invalid ({e})", file=sys.stderr)
+    if sk is None:
         ck = lwe.keygen(p, seed=2024)
         sk = gen_server_key(ck)
         if skp:

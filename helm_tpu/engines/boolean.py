@@ -302,7 +302,14 @@ class BooleanEngine:
             lps = self.plan.levels
             S = max(max(lp.slot_in.shape[0] for lp in lps), 1)
             real = max(sum(lp.slot_in.shape[0] for lp in lps), 1)
-            fuse = len(lps) >= 8 and S <= 256 and S * len(lps) <= 3 * real
+            # the <=128-level cap is a safety valve: a 358-level fused
+            # scan (AES-128 gates) crashed the TPU worker mid-eval
+            # (PERFORMANCE.md round-2 sweep); force with --fuse-levels
+            fuse = (
+                8 <= len(lps) <= 128
+                and S <= 256
+                and S * len(lps) <= 3 * real
+            )
         self._scan_levels = self._stack_levels() if fuse else None
 
     def _stack_levels(self):

@@ -34,10 +34,15 @@ def load_client_key(path: str) -> ClientKey:
 
 
 def save_server_key(path: str, sk: ServerKey) -> None:
+    from .modring import primes_for
+
     np.savez_compressed(
         path,
         kind="server",
         params=sk.params.name,
+        # the BSK is serialized in the NTT/CRT domain, so the file is only
+        # valid for the prime set it was built under (modring.primes_for)
+        primes=np.asarray(primes_for(sk.params.N), dtype=np.uint32),
         bsk_ntt=sk.bsk_ntt,
         bsk_ntt_sh=sk.bsk_ntt_sh,
         ksk_limbs=sk.ksk_limbs,
@@ -45,9 +50,26 @@ def save_server_key(path: str, sk: ServerKey) -> None:
 
 
 def load_server_key(path: str) -> ServerKey:
+    from .modring import primes_for
+
     z = np.load(path, allow_pickle=False)
     assert str(z["kind"]) == "server", "not a server key file"
     params = ALL_PARAMS[str(z["params"])]
+    want = np.asarray(primes_for(params.N), dtype=np.uint32)
+    if "primes" in z.files:
+        got = z["primes"]
+    else:  # pre-PRIMES_512 files recorded no prime set: legacy mapping
+        from .modring import PRIMES, PRIMES_1024
+
+        got = np.asarray(
+            PRIMES_1024 if params.N <= 1024 else PRIMES, dtype=np.uint32
+        )
+    if not np.array_equal(got, want):
+        raise ValueError(
+            f"{path}: server key was built under CRT primes "
+            f"{got.tolist()} but this build uses {want.tolist()} for "
+            f"N={params.N} — regenerate the key"
+        )
     return ServerKey(params, z["bsk_ntt"], z["bsk_ntt_sh"], z["ksk_limbs"])
 
 
@@ -64,7 +86,10 @@ def load_or_generate(dir_path: str, params, seed=None):
     ckp = os.path.join(dir_path, f"ck_{params.name}.npz")
     skp = os.path.join(dir_path, f"sk_{params.name}.npz")
     if os.path.exists(ckp) and os.path.exists(skp):
-        return load_client_key(ckp), load_server_key(skp)
+        try:
+            return load_client_key(ckp), load_server_key(skp)
+        except ValueError as e:  # e.g. CRT prime set changed
+            print(f"[keys] cached keys invalid ({e}); regenerating")
     ck = keygen(params, seed)
     sk = gen_server_key(ck)
     save_client_key(ckp, ck)

@@ -1,14 +1,18 @@
 """CRT prime ring: host-side table construction for the exact negacyclic NTT.
 
-Four NTT-friendly primes, all == 1 (mod 4096), all <= 2^16 + 1, so one prime
-set serves every polynomial size N <= 2048 used by the framework, and every
-modular multiplication can be a Shoup multiplication in pure wrapping-u32
-arithmetic (see DESIGN.md section 2).
+Four NTT-friendly primes per polynomial size (primes_for), all == 1
+(mod 2N), all <= 2^16 + 1, so every modular multiplication can be a Shoup
+multiplication in pure wrapping-u32 arithmetic (see DESIGN.md section 2).
+Smaller N rings use deliberately SMALLER primes: the fs kernel's f32
+pointwise chains reduce every floor(2^24/((max_p/2+1)*128)) products, so
+a small max_p buys longer exact accumulation runs (PRIMES_512 notes).
 
 The external products computed over these primes are bounded by
-(k+1)*l * N * (B/2) * 2^31 < P/2, so CRT residues determine the true signed
-integer result exactly; `GarnerConstants` recombines residues into the value
-mod 2^32 with a balanced lift.
+params.TfheParams.conv_bound() — the multibit form
+(3^g - 1) * sum_rows(B_r/2) * N * 2^31 — which keygen asserts is < P/2,
+so CRT residues determine the true signed integer result exactly;
+`GarnerConstants` recombines residues into the value mod 2^32 with a
+balanced lift.
 
 All tables are built with exact Python integers and exported as numpy arrays.
 """
@@ -25,10 +29,21 @@ PRIMES = (12289, 40961, 61441, 65537)  # ascending; product ~ 2^59.8
 #: N <= 1024 set (all == 1 mod 2048 and <= 61441, so balanced residues fit
 #: two int8 limbs — required by the MXU matmul NTT path).
 PRIMES_1024 = (12289, 40961, 59393, 61441)  # product ~ 2^59.7
+#: N <= 512 set (all == 1 mod 1024), chosen SMALL on purpose: the fs
+#: kernel's f32 pointwise chains may accumulate floor(2^24/((p/2+1)*128))
+#: products before an exactness-forced Barrett reduction, so max_p = 18433
+#: gives chunk = 14 >= gadget_rows — ZERO mid-chain reductions — where the
+#: previous 61441 forced one every 4. Product 2^55.36 still exceeds the
+#: exact-convolution bound of every N<=512 set (asserted by
+#: params.TfheParams.conv_bound_log2 at keygen and pinned in
+#: tests/test_params_keys.py).
+PRIMES_512 = (12289, 13313, 15361, 18433)  # product ~ 2^55.36
 NUM_PRIMES = len(PRIMES)
 
 
 def primes_for(N: int) -> tuple:
+    if N <= 512:
+        return PRIMES_512
     return PRIMES_1024 if N <= 1024 else PRIMES
 
 SHOUP_SHIFT = 16  # beta = 2^16

@@ -94,6 +94,7 @@ def _glwe_enc_zero_batch(ck: ClientKey, rows: int) -> np.ndarray:
 
 def gen_bsk(ck: ClientKey) -> tuple[np.ndarray, np.ndarray]:
     """GGSW encryptions of each small-key bit, in NTT domain (+Shoup)."""
+    _check_conv_bound(ck.params)
     p = ck.params
     tab = get_tables(p.N)
     kp1 = p.k + 1
@@ -162,9 +163,13 @@ def gen_bsk_multibit(ck: ClientKey) -> tuple[np.ndarray, np.ndarray]:
     never happens (and contributes no noise, matching the noise model's
     (3^g-1)/(2g) multiplier exactly). Shape [n/g, 2^g-1, rows, k+1, NP, N].
     """
+    _check_conv_bound(ck.params)
     p = ck.params
     g = p.grouping
-    assert g > 1 and p.n % g == 0, (g, p.n)
+    # g == 1 is the degenerate case: one subset, m_1 = s_i — the same key
+    # material as gen_bsk in the grouped layout, letting grouping-1 sets
+    # ride the fs kernel's additive-identity CMux (tools/g1_fs_test.py)
+    assert g >= 1 and p.n % g == 0, (g, p.n)
     groups = p.n // g
     tab = get_tables(p.N)
     kp1 = p.k + 1
@@ -193,6 +198,19 @@ def gen_bsk_multibit(ck: ClientKey) -> tuple[np.ndarray, np.ndarray]:
     primes = tab.primes.reshape(NUM_PRIMES, 1).astype(np.uint64)
     sh = ((bsk_ntt.astype(np.uint64) << 16) // primes).astype(np.uint32)
     return bsk_ntt, sh
+
+
+def _check_conv_bound(p: TfheParams) -> None:
+    import math
+
+    prod = math.prod(int(q) for q in get_tables(p.N).primes)
+    assert 2 * p.conv_bound() < prod, (
+        f"{p.name}: external-product convolution bound 2^"
+        f"{math.log2(p.conv_bound()):.2f} exceeds half the CRT prime "
+        f"product 2^{math.log2(prod):.2f} for N={p.N} "
+        "(modring.primes_for) — results would be wrong; use a smaller "
+        "gadget base or a larger prime set"
+    )
 
 
 def gen_server_key(ck: ClientKey) -> ServerKey:

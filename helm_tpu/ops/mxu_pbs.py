@@ -970,6 +970,21 @@ def _make_kernel_fs_mb(
         # it per prime is sound)
         digs = None if "digrec" in ablate else _digits()
 
+        # iota-built (constant-folding) {0,1,256} expansion matrix for the
+        # MXU BSK-column expansion: e_rg[i, r*G+g] = [i==r] + 256*[i-rows==r]
+        ei = jax.lax.broadcasted_iota(
+            jnp.int32, (2 * rows_tot, rows_tot * G), 0
+        )
+        eb = (
+            jax.lax.broadcasted_iota(
+                jnp.int32, (2 * rows_tot, rows_tot * G), 1
+            )
+            // G
+        )
+        e_rg = jnp.where(ei == eb, 1.0, 0.0) + jnp.where(
+            ei - rows_tot == eb, 256.0, 0.0
+        )
+
         # --- ONE PRIME AT A TIME: fwd NTT -> monomials/subsets per tile
         # -> pointwise -> inverse NTT, so only this prime's fwd rows
         # (rows_tot*N1 tiles) and the small per-tile working set are live
@@ -1010,6 +1025,7 @@ def _make_kernel_fs_mb(
             if "nofwd8" not in ablate:
                 xs = _fs_fwd8(xs, STW, pi, p)
             fwd_pi = [[None] * N1 for _ in range(rows_tot)]
+            fwd_full = [None] * N1  # unsliced [N2, rows_tot*G] per tile
             for t in range(N1):
                 if "nofmm" in ablate:  # probe: fwd 128-matmul cost
                     f = _to_bal_f32(xs[t], p)
@@ -1017,6 +1033,7 @@ def _make_kernel_fs_mb(
                     f = _lane128_matmul_fwd_bal(
                         xs[t], w2f_ref[pi, t, 0], w2f_ref[pi, t, 1], p, ip
                     )
+                fwd_full[t] = f
                 for r in range(rows_tot):
                     fwd_pi[r][t] = f[:, r * G : (r + 1) * G]
 
@@ -1073,10 +1090,16 @@ def _make_kernel_fs_mb(
                 S = [
                     [[None, None] for _ in range(kp1)] for _ in range(nv)
                 ]
-                if "nobsk" not in ablate:
-                    # r-contiguous slab: ONE [N2, rows] slice per (v, c2);
-                    # lane extracts then come from registers instead of
-                    # per-term strided VMEM column reads (+3.6% at k=3)
+                if "nobsk" not in ablate and "mxuexp" not in ablate:
+                    # Broadcast path (DEFAULT): one [N2,1] column lane-splat
+                    # per (v, c2, r). The `nobsk` probe scores the loads at
+                    # 53% of kernel time at k=3, but that share is operand
+                    # FETCH, not broadcast production: the MXU-expansion
+                    # variant below (`mxuexp`) pays the same materialized
+                    # operand traffic plus matmul dispatch and measured 23%
+                    # SLOWER (2070.6 vs 2695.1 rot/s, k=3 gt=512 on-chip
+                    # A/B 2026-08-19) — kept as the recorded negative
+                    # result.
                     splits = [
                         _split256(fwd_pi[r][t]) for r in range(rows_tot)
                     ]
@@ -1095,6 +1118,46 @@ def _make_kernel_fs_mb(
                                 flo, fhi = splits[r]
                                 plo = flo * b
                                 phi = fhi * b
+                                slo = plo if slo is None else slo + plo
+                                shi = phi if shi is None else shi + phi
+                                cc += 1
+                                if cc == chunk and r + 1 < rows_tot:
+                                    slo = _redfbt(slo, p, ip)
+                                    shi = _redfbt(shi, p, ip)
+                                    cc = 1
+                            S[v][c2][0], S[v][c2][1] = slo, shi
+                elif "nobsk" not in ablate:
+                    # `mxuexp` probe: ONE exact matmul per (v, c2) replaces
+                    # rows_tot lane-splat broadcasts. The [N2, rows] slab is
+                    # limb-split in-registers (|b0|,|b1| <= 128, bf16-exact)
+                    # and multiplied by the iota-built {0,1,256} expansion
+                    # matrix: out[f, r*G+g] = b0[f,r] + 256*b1[f,r] =
+                    # b[f,r], exact under the single-bf16-pass dot. Bit-
+                    # identical to the default path (same accumulation
+                    # order / chunk points) but measured 23% slower on-chip
+                    # — see the note above.
+                    flo_all, fhi_all = _split256(fwd_full[t])
+                    for v in range(1, nv):
+                        for c2 in range(kp1):
+                            base = (
+                                (((v - 1) * kp1 + c2) * NP + pi) * N1 + t
+                            ) * rows_tot
+                            chk = bsk_ref[0][:, base : base + rows_tot]
+                            b1c = jnp.floor(chk * (1.0 / 256.0) + 0.5)
+                            b0c = chk - 256.0 * b1c
+                            b01 = jnp.concatenate([b0c, b1c], axis=1)
+                            bexp = jax.lax.dot_general(
+                                b01, e_rg,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )  # [N2, rows_tot*G] == b replicated per block
+                            slo = shi = None
+                            cc = 0
+                            for r in range(rows_tot):
+                                sl = slice(r * G, (r + 1) * G)
+                                b = bexp[:, sl]
+                                plo = flo_all[:, sl] * b
+                                phi = fhi_all[:, sl] * b
                                 slo = plo if slo is None else slo + plo
                                 shi = phi if shi is None else shi + phi
                                 cc += 1

@@ -187,6 +187,20 @@ class TfheParams:
             return -(x * x) / math.log(2.0) - math.log2(x * math.sqrt(math.pi))
         return math.log2(max(math.erfc(x), 1e-300))
 
+    def conv_bound(self) -> int:
+        """Exact worst-case |coefficient| of one step's summed external
+        product as an integer (pre-CRT-reconstruction): the CRT prime
+        product must exceed 2x this for residues to determine the value
+        (modring.primes_for; asserted at keygen). Multibit form:
+        sum_v ||P_v||_1 = 3^g - 1 subset-polynomial mass, times the
+        per-row digit bound sum, times the N-term convolution against
+        balanced (<= q/2) BSK coefficients."""
+        digit_sum = sum(
+            lv * (1 << (bl - 1)) for bl, lv in self.component_gadgets
+        )
+        subset_mass = max(3**self.grouping - 1, 1)
+        return subset_mass * digit_sum * self.N * (Q // 2)
+
     def security_gap_bits(self) -> tuple[float, float]:
         """(LWE, GLWE) modulus-to-noise gaps log2(q/sigma) — smaller = harder."""
         return (

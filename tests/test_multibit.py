@@ -82,16 +82,19 @@ def test_approximate_mask_gadget():
     """Approximate gadget decomposition (mask components on a wider,
     shallower gadget — the original TFHE paper's trick; see params.py):
     correct through the jnp pipeline and bit-identical on the MXU kernel,
-    at k=3 and k=1, including the base-2^16 digits that exceed the
-    smallest NTT prime (the _digit_residues full-reduction path)."""
+    at k=3 and k=1, including (k=1) base-2^15 digits that exceed the
+    smallest NTT prime (the _digit_residues full-reduction path). Mask
+    bases are the widest that fit the PRIMES_512 convolution bound
+    (TfheParams.conv_bound; base-2^16 needs the old >=2^59 prime
+    product)."""
     from dataclasses import replace
 
     from helm_tpu.ops.mxu_pbs import bootstrap_mxu
 
     q8 = 1 << 29
     combos = [(a, b) for a in (False, True) for b in (False, True)]
-    for base in (P.TEST_PARAMS_K3, P.TEST_PARAMS_MB):
-        p = replace(base, pbs_mask_base_log=16, pbs_mask_level=1)
+    for base, mbl in ((P.TEST_PARAMS_K3, 13), (P.TEST_PARAMS_MB, 15)):
+        p = replace(base, pbs_mask_base_log=mbl, pbs_mask_level=1)
         assert p.gadget_rows == base.k * 1 + base.pbs_level
         ck = lwe.keygen(p, seed=31)
         dsk = pbs_jnp.DeviceServerKey.from_host(server_key.gen_server_key(ck))

@@ -168,3 +168,39 @@ def test_empirical_pbs_noise_matches_model():
     model = math.sqrt(p.var_pbs_out() + p.var_ks())
     ratio = err.std() / model
     assert 0.6 < ratio < 1.7, ratio
+
+
+def test_crt_conv_bound_all_sets():
+    """Every parameter set's exact external-product convolution bound fits
+    its CRT prime product (modring.primes_for) — the PRIMES_512 set is
+    deliberately small (max 18433: zero mid-chain f32 reductions in the fs
+    kernel) and gates_128_k3 sits 0.36 bits under the line, so this pins
+    the invariant keygen asserts (server_key._check_conv_bound)."""
+    import math
+
+    from helm_tpu.fhe.modring import get_tables
+    from helm_tpu.params import ALL_PARAMS
+
+    for p in ALL_PARAMS.values():
+        prod = math.prod(int(q) for q in get_tables(p.N).primes)
+        assert 2 * p.conv_bound() < prod, p.name
+
+
+def test_stale_prime_server_key_rejected(tmp_path):
+    """A serialized server key carries its CRT prime set; loading under a
+    different set must fail loudly (the BSK is NTT-domain data)."""
+    import numpy as np
+    import pytest
+
+    from helm_tpu.fhe import keys, lwe, server_key
+    from helm_tpu.params import TEST_PARAMS
+
+    ck = lwe.keygen(TEST_PARAMS, seed=1)
+    sk = server_key.gen_server_key(ck)
+    path = str(tmp_path / "sk.npz")
+    keys.save_server_key(path, sk)
+    z = dict(np.load(path, allow_pickle=False))
+    z["primes"] = np.asarray([12289, 40961, 59393, 61441], np.uint32)
+    np.savez_compressed(path, **z)
+    with pytest.raises(ValueError, match="CRT primes"):
+        keys.load_server_key(path)

@@ -18,11 +18,15 @@ pset = getattr(P, os.environ.get("PSET", "GATES_TPU_MB2"))
 p = pset
 ck_path = f"/tmp/ck_{p.name}.npz"
 sk_path = f"/tmp/sk_{p.name}.npz"
+ck = sk = None
 if os.path.exists(sk_path):
-    ck = K.load_client_key(ck_path)
-    sk = K.load_server_key(sk_path)
-    print("keys loaded", flush=True)
-else:
+    try:
+        ck = K.load_client_key(ck_path)
+        sk = K.load_server_key(sk_path)
+        print("keys loaded", flush=True)
+    except ValueError as e:  # CRT prime set changed: regenerate
+        print(f"key cache invalid ({e})", flush=True)
+if sk is None:
     ck = lwe.keygen(p, seed=7)
     sk = server_key.gen_server_key(ck)
     K.save_client_key(ck_path, ck)
