@@ -105,15 +105,21 @@ def main():
     x = jnp.asarray(lin)
 
     if backend == "pallas":
+        from helm_tpu.aot_cache import cached_jit
         from helm_tpu.ops.pallas_pbs import bootstrap_pallas
 
-        def bs(dsk, x, tv):
-            return bootstrap_pallas(dsk, x, tv)
+        bs = cached_jit(
+            lambda dsk, x, tv: bootstrap_pallas(dsk, x, tv), name="bench_pallas"
+        )
     elif backend == "mxu":
-        from helm_tpu.ops.mxu_pbs import bootstrap_mxu
+        from helm_tpu.ops.mxu_pbs import bootstrap_mxu_aot
+
+        # precompute the MXU key layout outside the trace (id-keyed cache
+        # cannot see through tracers)
+        dsk = dsk.with_mxu_keys()
 
         def bs(dsk, x, tv):
-            return bootstrap_mxu(dsk, x, tv)
+            return bootstrap_mxu_aot(dsk, x, tv)
     else:
         bs = jax.jit(pbs_jnp.bootstrap)
     t = time.perf_counter()

@@ -19,6 +19,7 @@ import time
 
 import numpy as np
 
+from ..aot_cache import cached_jit
 from ..circuit.graph import Circuit
 from ..circuit.plan import (CircuitPlan, Q8, binarize, build_plan, decompose_wide_luts)
 from ..circuit.verilog import Netlist
@@ -109,12 +110,15 @@ def _level_body(
     return wires.at[..., lin_dst, :].set(lv)
 
 
-_pbs_level_step = partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(4,))(
-    _level_body
+_pbs_level_step = cached_jit(
+    _level_body,
+    static_argnums=(0, 1, 2),
+    donate_argnums=(4,),
+    name="pbs_level",
 )
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(4,))
+@cached_jit(static_argnums=(0, 1, 2), donate_argnums=(4,), name="scan_eval")
 def _scan_eval_step(backend, shard, g_tile, dsk, wires, levels, testv_base):
     """All levels in ONE jitted lax.scan (latency mode): every level is
     padded to the same slot/mux/lin widths so a single compiled PBS kernel

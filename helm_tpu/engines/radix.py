@@ -129,9 +129,9 @@ def _bootstrap_multi(dsk, pres: list, tvs: list):
     if BATCH_SHARD[0] is not None:
         out = _bootstrap_sharded(BATCH_SHARD[0], dsk, pre, tv)
     elif BACKEND[0] == "mxu":
-        from ..ops.mxu_pbs import bootstrap_mxu
+        from ..ops.mxu_pbs import bootstrap_mxu_aot
 
-        out = bootstrap_mxu(
+        out = bootstrap_mxu_aot(
             dsk, pre, tv, interpret=jax.default_backend() == "cpu"
         )
     else:

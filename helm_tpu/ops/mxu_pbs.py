@@ -1985,3 +1985,32 @@ def bootstrap_mxu(
         )
     big = fops.sample_extract(jnp, acc, dsk.params.k, dsk.params.N)
     return keyswitch(dsk, big)
+
+
+def _make_bootstrap_aot():
+    from ..aot_cache import cached_jit
+
+    return cached_jit(
+        bootstrap_mxu,
+        static_argnames=("g_tile", "interpret"),
+        name="bootstrap_mxu",
+    )
+
+
+_bootstrap_aot = None
+
+
+def bootstrap_mxu_aot(dsk, lwe_in, testv, g_tile=None, interpret=False):
+    """bootstrap_mxu behind the persistent AOT executable cache.
+
+    Jits the whole PBS (blind rotate + sample extract + keyswitch) as one
+    program, serializes the compiled Mosaic executable to disk, and
+    deserializes it on later processes (<10 s vs ~2.5 min compile against
+    the remote TPU compiler — see helm_tpu/aot_cache.py). `dsk` must carry
+    precomputed mxu_keys (DeviceServerKey.with_mxu_keys): the id()-keyed
+    layout cache cannot see through tracers.
+    """
+    global _bootstrap_aot
+    if _bootstrap_aot is None:
+        _bootstrap_aot = _make_bootstrap_aot()
+    return _bootstrap_aot(dsk, lwe_in, testv, g_tile=g_tile, interpret=interpret)
