@@ -35,7 +35,7 @@ NVC = 12  # (nv-1) * kp1 term groups
 P = 18433
 IP = 1.0 / P
 STEPS = 64
-UNITS = 8  # (pi, t) units per grid step in the probe
+UNITS = 2  # (pi, t) units per grid step (small: remote compiles are slow)
 
 
 def _redfb(t):
@@ -133,7 +133,7 @@ def _kernel_T(slab_ref, out_ref, acc_scr, *, L):
 
     base_val = _redfbt(acc_scr[...] + 1.0)
     total = None
-    for _u in range(UNITS * (N2 // L)):
+    for _u in range(UNITS):
         splits = []
         for r in range(ROWS):
             f = _redfbt(base_val + float(_u * ROWS + r))
@@ -208,10 +208,12 @@ def kernel_C(w0_ref, w1_ref, bcol_ref, out_ref, acc_scr):
         out_ref[...] = acc_scr[...]
 
 
-def run(name, kern, inputs, out_shape, scratch_shape):
+def run(name, kern, inputs, out_shape, scratch_shape, work=1.0):
+    interp = "--interp" in sys.argv
     f = pl.pallas_call(
         kern,
         grid=(STEPS,),
+        interpret=interp,
         in_specs=[
             pl.BlockSpec(x.shape, lambda j, _nd=len(x.shape): (0,) * _nd,
                          memory_space=pltpu.VMEM)
@@ -233,13 +235,17 @@ def run(name, kern, inputs, out_shape, scratch_shape):
         o = fj(*inputs)
     np.asarray(o)
     dt = time.perf_counter() - t0
-    ns_unit = dt / iters / STEPS / UNITS * 1e9
+    ns_unit = dt / iters / STEPS / UNITS / work * 1e9
     print(f"{name}: {ns_unit:,.0f} ns/unit", flush=True)
     return ns_unit
 
 
 def main():
-    which = set(sys.argv[1:]) or {"A", "NOB", "B", "B2", "C"}
+    which = set(a for a in sys.argv[1:] if not a.startswith("-")) or {
+        "A", "NOB", "B", "B2", "C"}
+    if "--interp" in sys.argv:
+        import jax as _j
+        _j.config.update("jax_platforms", "cpu")
     rng = np.random.default_rng(0)
     slab = jnp.asarray(
         rng.integers(-P // 2, P // 2, (N2, NVC * ROWS)).astype(np.float32)
@@ -265,7 +271,7 @@ def main():
         res["B2"] = run(
             "B2 (transposed, L=128)",
             functools.partial(_kernel_T, L=128),
-            [slab2], (G, 128), (G, 128),
+            [slab2], (G, 128), (G, 128), work=2.0,
         )
     if "C" in which:
         RN = ROWS * N2
