@@ -306,14 +306,16 @@ class BooleanEngine:
             lps = self.plan.levels
             S = max(max(lp.slot_in.shape[0] for lp in lps), 1)
             real = max(sum(lp.slot_in.shape[0] for lp in lps), 1)
-            # the <=128-level cap is a safety valve: a 358-level fused
-            # scan (AES-128 gates) crashed the TPU worker mid-eval
-            # (PERFORMANCE.md round-2 sweep); force with --fuse-levels
             fuse = (
-                8 <= len(lps) <= 128
+                8 <= len(lps)
                 and S <= 256
                 and S * len(lps) <= 3 * real
             )
+        # deep circuits are CHUNKED into uniform <=128-level scans: a
+        # single 358-level fused scan (AES-128 gates) crashed the TPU
+        # worker mid-eval (PERFORMANCE.md round-2 sweep), and equal-shape
+        # chunks share one compiled executable anyway — the last chunk is
+        # padded with no-op levels (every destination = the trash wire)
         self._scan_levels = self._stack_levels() if fuse else None
 
     def _stack_levels(self):
@@ -346,7 +348,26 @@ class BooleanEngine:
             stk["testv_sel"] = np.stack(
                 [pad(lp.testv_sel, S, 0) for lp in lps]
             )
-        return {k: jnp.asarray(v) for k, v in stk.items()}
+        # chunk into <= MAXC-level scans of EQUAL length (one compiled
+        # executable, ceil(L/C) dispatches); pad the tail with no-op
+        # levels whose every destination is the trash wire
+        MAXC = 128
+        L_tot = len(lps)
+        nch = -(-L_tot // MAXC)
+        C = -(-L_tot // nch)
+        pad_l = nch * C - L_tot
+        if pad_l:
+            noop_fill = {
+                "slot_dst": trash, "mux_dst": trash, "lin_dst": trash
+            }
+            for k_, v in stk.items():
+                fill = noop_fill.get(k_, 0)
+                extra = np.full((pad_l,) + v.shape[1:], fill, v.dtype)
+                stk[k_] = np.concatenate([v, extra], axis=0)
+        return [
+            {k: jnp.asarray(v[i * C : (i + 1) * C]) for k, v in stk.items()}
+            for i in range(nch)
+        ]
 
     # -- client role ---------------------------------------------------
     def _encode(self, v) -> np.ndarray:
@@ -440,19 +461,20 @@ class BooleanEngine:
             testv = (
                 self._testv_bank if self.mode == "lut" else self._testv_gates
             )
-            wires = _scan_eval_step(
-                self.backend,
-                self._batch_shard,
-                self.g_tile,
-                self.dsk,
-                wires,
-                self._scan_levels,
-                testv,
-            )
+            for chunk in self._scan_levels:
+                wires = _scan_eval_step(
+                    self.backend,
+                    self._batch_shard,
+                    self.g_tile,
+                    self.dsk,
+                    wires,
+                    chunk,
+                    testv,
+                )
             if verbose:
                 print(
-                    f"  Evaluated all {len(self.plan.levels)} levels in one"
-                    " fused scan launch"
+                    f"  Evaluated all {len(self.plan.levels)} levels in"
+                    f" {len(self._scan_levels)} fused scan launch(es)"
                 )
             return wires
         total = len(self._dev_levels)

@@ -708,3 +708,41 @@ def test_fuse_levels_auto_heuristic():
     e2 = BooleanEngine(mode="gates", params=P.TEST_PARAMS, seed=22)
     e2.compile(read_verilog_file("benchmarks/netlists/2-bit-adder.v"))
     assert e2._scan_levels is None  # 5 levels: per-level launches
+
+
+def test_chunked_fusion_deep_chain(tmp_path):
+    """>128 levels: the fused path must split into equal-length scan
+    chunks (tail padded with no-op levels) and still match the oracle.
+    Guards the AES-358-level regression (a single giant scan crashed the
+    TPU worker; chunks of <=128 share one compiled executable)."""
+    depth = 300
+    lines = ["module chain(a, b, out);", "input a, b;", "output out;"]
+    lines += [f"wire w{i};" for i in range(depth)]
+    lines.append("xor g0(a, b, w0);")
+    for i in range(1, depth):
+        if i % 3 == 0:
+            lines.append(f"not g{i}(w{i-1}, w{i});")
+        elif i % 3 == 1:
+            lines.append(f"xor g{i}(w{i-1}, a, w{i});")
+        else:
+            lines.append(f"and g{i}(w{i-1}, b, w{i});")
+    lines.append(f"buf gout(w{depth-1}, out);")
+    lines.append("endmodule")
+    path = tmp_path / "chain.v"
+    path.write_text("\n".join(lines) + "\n")
+
+    nl = read_verilog_file(str(path))
+    inputs = {"a": True, "b": True}
+    exp = _oracle(nl, inputs)
+    e = BooleanEngine(
+        mode="gates", params=P.TEST_PARAMS, seed=31, fuse_levels=True
+    )
+    e.compile(nl)
+    assert e._scan_levels is not None and len(e._scan_levels) >= 3
+    # equal chunk lengths (one executable) and full level coverage
+    lens = {c["slot_in"].shape[0] for c in e._scan_levels}
+    assert len(lens) == 1
+    assert lens.pop() * len(e._scan_levels) >= len(e.plan.levels)
+    got = e.decrypt_all_wires(e.evaluate(e.encrypt_inputs(inputs)))
+    for w, v in exp.items():
+        assert got[w] == v, w
