@@ -73,11 +73,16 @@ class DeviceServerKey:
         """Attach the MXU kernel's BSK layout (computed once, device-side)."""
         from ..ops import mxu_pbs
 
-        keys = (
-            (mxu_pbs.mxu_server_key_fs(self),)
-            if self.params.grouping > 1
-            else mxu_pbs.mxu_server_key(self)
-        )
+        if self.params.grouping > 1:
+            from ..ops import ts_pbs
+
+            keys = (
+                (ts_pbs.mxu_server_key_ts(self),)
+                if ts_pbs.use_ts_kernel()
+                else (mxu_pbs.mxu_server_key_fs(self),)
+            )
+        else:
+            keys = mxu_pbs.mxu_server_key(self)
         return DeviceServerKey(
             self.params, self.tab, self.bsk_ntt, self.bsk_ntt_sh,
             self.ksk_limbs, keys,

@@ -1957,7 +1957,12 @@ def bootstrap_mxu(
     if keys is None:
         keys = dsk.mxu_keys
     if dsk.params.grouping > 1:
-        bsk = keys[0] if keys is not None else mxu_server_key_fs(dsk)
+        from .ts_pbs import (
+            blind_rotate_ts_mb,
+            mxu_server_key_ts,
+            use_ts_kernel,
+        )
+
         if g_tile is None:
             # lane width of every tile array: the kernel's live set (fwd
             # rows, digits, inverse accumulators) scales with N2 * g_tile,
@@ -1971,10 +1976,18 @@ def bootstrap_mxu(
                     else (256 if dsk.params.N <= 1024 else 128)
                 )
             )
-        acc = blind_rotate_fs_mb(
-            dsk.params, bsk, lwe_in, testv,
-            g_tile=g_tile, interpret=interpret,
-        )
+        if use_ts_kernel():
+            bsk = keys[0] if keys is not None else mxu_server_key_ts(dsk)
+            acc = blind_rotate_ts_mb(
+                dsk.params, bsk, lwe_in, testv,
+                g_tile=g_tile, interpret=interpret,
+            )
+        else:
+            bsk = keys[0] if keys is not None else mxu_server_key_fs(dsk)
+            acc = blind_rotate_fs_mb(
+                dsk.params, bsk, lwe_in, testv,
+                g_tile=g_tile, interpret=interpret,
+            )
     else:
         bsk_a, bsk_b = keys if keys is not None else mxu_server_key(dsk)
         if g_tile is None:

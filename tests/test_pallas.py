@@ -268,3 +268,53 @@ def test_fs_multibit_n2048_matches_jnp(keys_n2048):
         )
     )
     np.testing.assert_array_equal(got, ref)
+
+
+def test_ts_multibit_blind_rotate_matches_jnp(keys_mb):
+    """Transposed-packed multi-bit kernel bit-equals the jnp reference
+    (gates in sublanes, tile pairs in lanes — see ops/ts_pbs.py)."""
+    from helm_tpu.ops import ts_pbs
+
+    p, ck, dsk = keys_mb
+    rng = np.random.default_rng(13)
+    bits = rng.integers(0, 2, 8).astype(bool)
+    ct = lwe.encrypt(ck, lwe.encode_bool(bits))
+    testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
+    ref = np.asarray(
+        jax.jit(pbs_jnp.blind_rotate_multibit)(dsk, jnp.asarray(ct), testv)
+    )
+    bsk_ts = ts_pbs.mxu_server_key_ts(dsk)
+    got = np.asarray(
+        ts_pbs.blind_rotate_ts_mb(
+            p, bsk_ts, jnp.asarray(ct), testv,
+            g_tile=8, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_ts_multibit_per_gate_testv_and_ragged(keys_mb):
+    """ts kernel with a per-gate test-poly bank and a non-tile-multiple
+    batch (padding path) bit-equals the jnp reference."""
+    from helm_tpu.ops import ts_pbs
+
+    p, ck, dsk = keys_mb
+    rng = np.random.default_rng(17)
+    G = 11  # not a multiple of g_tile=8: exercises padding
+    bits = rng.integers(0, 2, G).astype(bool)
+    ct = lwe.encrypt(ck, lwe.encode_bool(bits))
+    base = np.asarray(pbs_jnp.gates_test_poly(p))
+    tvs = np.stack([np.roll(base[0], i) for i in range(G)])
+    ref = np.asarray(
+        jax.jit(pbs_jnp.blind_rotate_multibit)(
+            dsk, jnp.asarray(ct), jnp.asarray(tvs)
+        )
+    )
+    bsk_ts = ts_pbs.mxu_server_key_ts(dsk)
+    got = np.asarray(
+        ts_pbs.blind_rotate_ts_mb(
+            p, bsk_ts, jnp.asarray(ct), jnp.asarray(tvs),
+            g_tile=8, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
