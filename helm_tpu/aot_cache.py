@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import threading
 import time
 import warnings
@@ -42,6 +43,10 @@ MIN_STORE_SECS = [5.0]  # don't persist executables that compile faster
 #: tests flip this to exercise the serialize/deserialize path on CPU,
 #: where compiles are fast and the cache normally degrades to plain jit
 FORCE = [False]
+
+# StableHLO location metadata: inline loc(...) refs and #locN = loc(...)
+# alias lines (source file/line info — semantically irrelevant)
+_LOC_RE = re.compile(r"loc\([^\n]*?\)|^#loc.*$", re.MULTILINE)
 
 
 def _cache_dir() -> str | None:
@@ -130,7 +135,9 @@ class CachedJit:
         from jax.experimental import serialize_executable as se
 
         lowered = self._jit.lower(*args, **kwargs)
-        text = lowered.as_text()
+        # strip source-location metadata before hashing: a comment-level
+        # edit anywhere on the trace path must not invalidate the cache
+        text = _LOC_RE.sub("", lowered.as_text())
         h = hashlib.sha256(
             (text + "\x00" + _runtime_fingerprint()).encode()
         ).hexdigest()[:32]

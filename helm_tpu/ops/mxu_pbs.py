@@ -1963,6 +1963,8 @@ def bootstrap_mxu(
             use_ts_kernel,
         )
 
+        if g_tile is None and not interpret and os.environ.get("HELM_TPU_GT"):
+            g_tile = int(os.environ["HELM_TPU_GT"])  # sweep knob
         if g_tile is None:
             # lane width of every tile array: the kernel's live set (fwd
             # rows, digits, inverse accumulators) scales with N2 * g_tile,

@@ -323,7 +323,7 @@ def _make_kernel_ts_mb(params: TfheParams, g_tile: int):
 
     def kernel(
         acc0_ref,  # [1, kp1, TP, G, L]
-        abar_ref,  # [1, G, n] int32
+        abar_ref,  # [1, n, G] int32
         w2f_ref,  # [NP, TP, 2, L, L] bf16
         w2fi_ref,  # [NP, TP, 2, L, L] bf16
         tlo_ref,  # [NP, 2, LOW, N1*N2] bf16
@@ -338,23 +338,27 @@ def _make_kernel_ts_mb(params: TfheParams, g_tile: int):
         def _():
             acc_scr[...] = acc0_ref[0]
 
-        def ohmm(oh, tref):
+        def ohmm(ohT, tref):
+            # one-hots are built TRANSPOSED ([K, G]: per-gate exponent in
+            # lanes — a dynamic LANE slice of abar would need provable
+            # 128-alignment in Mosaic, a dynamic sublane index is free);
+            # contract dim 0 of both operands -> [G, M]
             return jax.lax.dot_general(
-                oh, tref, (((1,), (0,)), ((), ())),
+                ohT, tref, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
         ohs = []
         for i in range(g):
-            a_i = abar_ref[0, :, pl.ds(g * j + i, 1)]  # [G, 1]
-            alo = a_i & (LOW - 1)
-            ahi = a_i >> LOG2[LOW]
+            a_row = abar_ref[0, g * j + i, :][None, :]  # [1, G] int32
+            alo = a_row & (LOW - 1)
+            ahi = a_row >> LOG2[LOW]
             ohs.append((
                 (
-                    jax.lax.broadcasted_iota(jnp.int32, (G, LOW), 1) == alo
+                    jax.lax.broadcasted_iota(jnp.int32, (LOW, G), 0) == alo
                 ).astype(jnp.bfloat16),
                 (
-                    jax.lax.broadcasted_iota(jnp.int32, (G, HBW), 1) == ahi
+                    jax.lax.broadcasted_iota(jnp.int32, (HBW, G), 0) == ahi
                 ).astype(jnp.bfloat16),
             ))
 
@@ -588,7 +592,7 @@ def blind_rotate_ts_mb(
     acc0 = jnp.concatenate(
         [jnp.zeros((tiles, k, TP, g_tile, L), jnp.uint32), body], axis=1
     )
-    abar_t = abar.reshape(tiles, g_tile, n)
+    abar_t = jnp.transpose(abar.reshape(tiles, g_tile, n), (0, 2, 1))
 
     kernel = _make_kernel_ts_mb(params, g_tile)
 
@@ -611,7 +615,7 @@ def blind_rotate_ts_mb(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, g_tile, n), lambda i, j: (i, 0, 0),
+                (1, n, g_tile), lambda i, j: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             cmap((NP, TP, 2, L, L)),
