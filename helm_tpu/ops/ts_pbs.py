@@ -66,8 +66,15 @@ TP = N1 // 2  # lane-packed tile pairs (tp, tp+4)
 
 
 def use_ts_kernel() -> bool:
-    """Env gate while the fs/ts A/B is running; ts wins -> flip default."""
-    return os.environ.get("HELM_TPU_TS_KERNEL", "1") == "1"
+    """Env gate. MEASURED SLOWER than the fs kernel on-chip (2026-08-19,
+    GATES_128_K3 full-PBS bench): ts 3054.8 (gt=512) / 2918.4 (gt=256)
+    bs/s vs fs 3237.3 — the microbenchmark's 16% pointwise win
+    (tools/ptw_probe.py) does not survive the full kernel's register
+    pressure: ts holds [rows*G, L] sublane-deep arrays through the NTT
+    stages where fs holds [N2, rows*G] lane-wide ones, and ts compiles
+    3.7x slower (872 s). Kept as a tested alternate backend
+    (HELM_TPU_TS_KERNEL=1) and as the recorded negative result."""
+    return os.environ.get("HELM_TPU_TS_KERNEL", "0") == "1"
 
 
 def _ts_fwd8(xs, stw, pi: int, p: int):
