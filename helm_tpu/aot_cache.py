@@ -29,6 +29,7 @@ from __future__ import annotations
 import hashlib
 import os
 import re
+import struct
 import threading
 import time
 import warnings
@@ -69,6 +70,43 @@ def _cache_dir() -> str | None:
         except OSError:
             continue
     return None
+
+
+# Entry framing: MAGIC + sha256(body) + body, with body =
+# u32 n_devices | i64 device_ids[n] | u64 payload_len | payload.
+# Deliberately NOT pickle: a writable/shared cache dir must never be an
+# arbitrary-code-execution vector (the payload itself is opaque bytes
+# handed to PJRT's deserializer). The digest fails corrupt or truncated
+# entries closed; pre-format (pickle-era) files fail the magic check and
+# are recompiled over. See SECURITY.md "AOT executable cache".
+_MAGIC = b"HTPUAOT2\n"
+
+
+def _pack_entry(payload: bytes, device_ids: list[int]) -> bytes:
+    body = (
+        struct.pack("<I", len(device_ids))
+        + struct.pack(f"<{len(device_ids)}q", *device_ids)
+        + struct.pack("<Q", len(payload))
+        + payload
+    )
+    return _MAGIC + hashlib.sha256(body).digest() + body
+
+
+def _unpack_entry(data: bytes) -> tuple[bytes, list[int]]:
+    if not data.startswith(_MAGIC):
+        raise ValueError("not an AOT cache entry (bad magic)")
+    hoff = len(_MAGIC)
+    digest, body = data[hoff : hoff + 32], data[hoff + 32 :]
+    if hashlib.sha256(body).digest() != digest:
+        raise ValueError("AOT cache entry checksum mismatch")
+    n = struct.unpack_from("<I", body, 0)[0]
+    ids = list(struct.unpack_from(f"<{n}q", body, 4))
+    off = 4 + 8 * n
+    plen = struct.unpack_from("<Q", body, off)[0]
+    payload = body[off + 8 : off + 8 + plen]
+    if len(payload) != plen:
+        raise ValueError("AOT cache entry truncated")
+    return payload, ids
 
 
 def _runtime_fingerprint() -> str:
@@ -144,18 +182,16 @@ class CachedJit:
         path = os.path.join(cache_dir, f"{self.name}-{h}.pjrt")
         if os.path.exists(path):
             try:
-                import pickle
-
                 with open(path, "rb") as f:
-                    entry = pickle.load(f)
+                    payload, device_ids = _unpack_entry(f.read())
                 # the executable must load onto exactly the devices it was
                 # compiled for (by id) — passing the full device list makes
                 # PJRT treat a 1-device program as N-way sharded
                 by_id = {d.id: d for d in jax.devices()}
-                exec_devices = [by_id[i] for i in entry["device_ids"]]
+                exec_devices = [by_id[i] for i in device_ids]
                 _, in_tree = jax.tree_util.tree_flatten(lowered.args_info)
                 compiled = se.deserialize_and_load(
-                    entry["payload"],
+                    payload,
                     in_tree,
                     lowered.out_tree,
                     execution_devices=exec_devices,
@@ -173,8 +209,6 @@ class CachedJit:
         stats["misses"] += 1
         if dt >= MIN_STORE_SECS[0]:
             try:
-                import pickle
-
                 payload, _, _ = se.serialize(compiled)
                 ids = [
                     d.id
@@ -182,7 +216,7 @@ class CachedJit:
                 ]
                 tmp = f"{path}.tmp.{os.getpid()}"
                 with open(tmp, "wb") as f:
-                    pickle.dump({"payload": payload, "device_ids": ids}, f)
+                    f.write(_pack_entry(payload, ids))
                 os.replace(tmp, path)
                 stats["stores"] += 1
             except Exception as e:  # serialization is best-effort

@@ -115,7 +115,14 @@ class ChaChaGenerator:
         need = count - take
         if need > 0:
             nblocks = (need + 15) // 16
-            assert self._counter + nblocks < (1 << 32), "stream exhausted"
+            if self._counter + nblocks >= (1 << 32):
+                # unconditional (not assert: survives python -O) — past
+                # 2^32 blocks the 32-bit counter wraps and the keystream
+                # repeats, reusing LWE mask/noise material
+                raise RuntimeError(
+                    "ChaCha20 stream exhausted (2^32 blocks); "
+                    "rekey or use a new stream id"
+                )
             words = chacha20_blocks(
                 self._key, self._counter, self._nonce, nblocks
             ).reshape(-1)

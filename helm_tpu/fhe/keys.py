@@ -89,7 +89,22 @@ def load_or_generate(dir_path: str, params, seed=None):
         try:
             return load_client_key(ckp), load_server_key(skp)
         except ValueError as e:  # e.g. CRT prime set changed
-            print(f"[keys] cached keys invalid ({e}); regenerating")
+            # NEVER overwrite the old client key in place: ciphertexts or
+            # exported interop vectors encrypted under it would be
+            # silently invalidated. Park both files under a .stale-N
+            # suffix so they stay recoverable.
+            idx = 0
+            while os.path.exists(f"{ckp}.stale-{idx}") or os.path.exists(
+                f"{skp}.stale-{idx}"
+            ):
+                idx += 1
+            for p_ in (ckp, skp):
+                if os.path.exists(p_):
+                    os.replace(p_, f"{p_}.stale-{idx}")
+            print(
+                f"[keys] cached keys invalid ({e}); regenerating — old "
+                f"keys kept as *.stale-{idx}"
+            )
     ck = keygen(params, seed)
     sk = gen_server_key(ck)
     save_client_key(ckp, ck)

@@ -104,7 +104,11 @@ def encrypt_batch(
     (uint32 [n]): returns uint32 [..., n+1]. All cores by default. `seed`
     is 32 bytes of key material (or an int, hashed to 32 bytes); both the
     C++ path and the Python fallback draw masks and noise from ChaCha20
-    streams keyed by it (same contract, different stream layout)."""
+    streams keyed by it. The C++ path assigns one stream per fixed
+    1024-row block, so a given (seed, mu) yields the same ciphertexts for
+    EVERY nthreads value (and any batch-size threshold). The Python
+    fallback's stream layout differs from C++ (single stream, numpy draw
+    order) but is likewise independent of threading."""
     lib = _load()
     n = int(key.shape[0])
     if lib is None:

@@ -1341,13 +1341,37 @@ def _mxu_key_cache():
     return {}
 
 
+def _layout_cache(tag: str, src, build):
+    """Process-global BSK-layout memo, safe against id() reuse.
+
+    Entries are keyed by (tag, id(src)) but each holds a weakref to the
+    source array and is only served while `ref() is src` — after the
+    source is collected, CPython may hand its id to a DIFFERENT server
+    key's array, and an unguarded id key would silently return the
+    previous key's layout (wrong ciphertexts on key rotation within one
+    process). A weakref callback evicts dead entries; objects that
+    cannot be weak-referenced are kept alive by the fallback closure so
+    their id cannot be reused."""
+    cache = _mxu_key_cache()
+    key = (tag, id(src))
+    ent = cache.get(key)
+    if ent is not None and ent[0]() is src:
+        return ent[1]
+    val = build()
+    import weakref
+
+    try:
+        ref = weakref.ref(src, lambda _r, _k=key: cache.pop(_k, None))
+    except TypeError:  # not weakref-able: retain (id stays unique)
+        ref = lambda _s=src: _s  # noqa: E731
+    cache[key] = (ref, val)
+    return val
 
 
 def mxu_server_key(dsk):
     """BSK permuted into MXU order and laid out [.., N2(fB), 8(fA)]."""
-    cache = _mxu_key_cache()
-    key = id(dsk.bsk_ntt)
-    if key not in cache:
+
+    def build():
         t = mxu_ntt.mxu_tables(dsk.params.N)
         perm = jnp.asarray(t["perm_from_std"])
         N = dsk.bsk_ntt.shape[-1]
@@ -1361,8 +1385,9 @@ def mxu_server_key(dsk):
             x = b[..., perm].reshape(*b.shape[:-1], N1, N2)
             return jnp.swapaxes(x, -2, -1)
 
-        cache[key] = (conv(dsk.bsk_ntt), conv(dsk.bsk_ntt_sh))
-    return cache[key]
+        return (conv(dsk.bsk_ntt), conv(dsk.bsk_ntt_sh))
+
+    return _layout_cache("gm", dsk.bsk_ntt, build)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "g_tile", "interpret"))
@@ -1678,9 +1703,8 @@ def mxu_server_key_fs(dsk):
     decomposition row, reused across all nv*kp1 terms), so each pointwise
     term costs ONE column broadcast of this slab rather than a lo/hi pair —
     and the slab's VMEM/HBM footprint halves."""
-    cache = _mxu_key_cache()
-    key = ("fs-rc", id(dsk.bsk_ntt))
-    if key not in cache:
+
+    def build():
         t = mxu_ntt.mxu_tables(dsk.params.N)
         perm = jnp.asarray(t["perm_from_std"])
         groups, nv, rows, kp1, NP, N = dsk.bsk_ntt.shape
@@ -1701,8 +1725,9 @@ def mxu_server_key_fs(dsk):
             x = jnp.transpose(x, (0, 6, 1, 3, 4, 5, 2))
             return x.reshape(groups, N2, nv * rows * kp1 * NP * N1)
 
-        cache[key] = make(dsk.bsk_ntt)
-    return cache[key]
+        return make(dsk.bsk_ntt)
+
+    return _layout_cache("fs-rc", dsk.bsk_ntt, build)
 
 
 @functools.lru_cache(maxsize=None)

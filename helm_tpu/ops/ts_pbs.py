@@ -54,7 +54,6 @@ from .mxu_pbs import (
     _madd,
     _mshoup,
     _msub,
-    _mxu_key_cache,
     _redfb,
     _redfbt,
     _rollL,
@@ -272,9 +271,9 @@ def mxu_server_key_ts(dsk):
     [groups, RS, L] with row = ((((v-1)*kp1 + c2)*NP + pi)*TP + tp)*rows
     + r and lane = half*N2 + jb for fA tile = half*4 + tp. Each pointwise
     term costs ONE [1, L] row broadcast across gate sublanes."""
-    cache = _mxu_key_cache()
-    key = ("ts", id(dsk.bsk_ntt))
-    if key not in cache:
+    from .mxu_pbs import _layout_cache
+
+    def build():
         N = dsk.bsk_ntt.shape[-1]
         N2 = N // N1
         t = mxu_ntt.mxu_tables(N)
@@ -295,11 +294,14 @@ def mxu_server_key_ts(dsk):
             x = jnp.transpose(x, (0, 1, 3, 4, 6, 2, 5, 7))
             return x.reshape(groups, nv3 * kp1 * NP * TP * rows, 2 * N2)
 
-        cache[key] = make(dsk.bsk_ntt)
-    return cache[key]
+        return make(dsk.bsk_ntt)
+
+    return _layout_cache("ts", dsk.bsk_ntt, build)
 
 
-def _make_kernel_ts_mb(params: TfheParams, g_tile: int):
+def _make_kernel_ts_mb(
+    params: TfheParams, g_tile: int, ablate: frozenset = frozenset()
+):
     N, k, n = params.N, params.k, params.n
     g = params.grouping
     nv = 1 << g
@@ -356,7 +358,7 @@ def _make_kernel_ts_mb(params: TfheParams, g_tile: int):
             )
 
         ohs = []
-        for i in range(g):
+        for i in range(g if "noladder" not in ablate else 0):
             a_row = abar_ref[0, g * j + i, :][None, :]  # [1, G] int32
             alo = a_row & (LOW - 1)
             ahi = a_row >> LOG2[LOW]
@@ -373,7 +375,11 @@ def _make_kernel_ts_mb(params: TfheParams, g_tile: int):
         for c in range(kp1):
             bl_c, lv_c = gadgets[c]
             for tp in range(TP):
-                digs[tp].extend(_decompose(acc_scr[c, tp], bl_c, lv_c))
+                if "nodec" in ablate:  # probe: decomposition cost
+                    d = (acc_scr[c, tp] >> jnp.uint32(24)).astype(jnp.int32)
+                    digs[tp].extend([d] * lv_c)
+                else:
+                    digs[tp].extend(_decompose(acc_scr[c, tp], bl_c, lv_c))
 
         inv_res = []
         for pi, p in enumerate(PRIMES):
@@ -393,22 +399,26 @@ def _make_kernel_ts_mb(params: TfheParams, g_tile: int):
                     axis=0,
                 )  # [rows*G, L]
                 xs.append(stacked)
-            xs = _ts_fwd8(xs, STW, pi, p)
+            if "nofwd8" not in ablate:
+                xs = _ts_fwd8(xs, STW, pi, p)
             fwd_pi = [[None] * TP for _ in range(rows_tot)]
             for tp in range(TP):
-                f = _mmL_bal(
-                    _to_bal_f32(xs[tp], p),
-                    w2f_ref[pi, tp, 0],
-                    w2f_ref[pi, tp, 1],
-                    p,
-                    ip,
-                )
+                if "nofmm" in ablate:  # probe: fwd matmul cost
+                    f = _to_bal_f32(xs[tp], p)
+                else:
+                    f = _mmL_bal(
+                        _to_bal_f32(xs[tp], p),
+                        w2f_ref[pi, tp, 0],
+                        w2f_ref[pi, tp, 1],
+                        p,
+                        ip,
+                    )
                 for r in range(rows_tot):
                     fwd_pi[r][tp] = f[r * G : (r + 1) * G, :]
 
             # monomial NTTs for ALL tiles at once: [G, N1*N2]
             Mall = []
-            for i in range(g):
+            for i in range(g if "noladder" not in ablate else 0):
                 oh_lo, oh_hi = ohs[i]
                 l0 = ohmm(oh_lo, tlo_ref[pi, 0])
                 l1 = ohmm(oh_lo, tlo_ref[pi, 1])
@@ -421,6 +431,11 @@ def _make_kernel_ts_mb(params: TfheParams, g_tile: int):
                     )
                 )
             pva = {}
+            if "noladder" in ablate:  # runtime scalar: no const-folding
+                one = jnp.broadcast_to(
+                    bsk_ref[0][0:1, 0:1], (G, N1 * N2)
+                ).astype(jnp.float32)
+                Mall = [one for _ in range(g)]
             for v in range(1, nv):
                 idxs = [i for i in range(g) if (v >> i) & 1]
                 cur = Mall[idxs[0]] - 1.0
@@ -429,7 +444,7 @@ def _make_kernel_ts_mb(params: TfheParams, g_tile: int):
                 pva[v] = _split256(cur)
 
             conv_pi = [[None] * TP for _ in range(kp1)]
-            for tp in range(TP):
+            for tp in range(TP if "noptw" not in ablate else 0):
                 sl = slice(tp * L, (tp + 1) * L)
                 pvt = {
                     v: (pva[v][0][:, sl], pva[v][1][:, sl])
@@ -454,10 +469,13 @@ def _make_kernel_ts_mb(params: TfheParams, g_tile: int):
                         slo = shi = None
                         cc = 0
                         for r in range(rows_tot):
-                            b = jnp.broadcast_to(
-                                bsk_ref[0][base + r : base + r + 1, :],
-                                (G, L),
-                            )
+                            if "nobsk" in ablate:  # probe: load cost
+                                b = jnp.float32(3.0 + r + v)
+                            else:
+                                b = jnp.broadcast_to(
+                                    bsk_ref[0][base + r : base + r + 1, :],
+                                    (G, L),
+                                )
                             flo, fhi = splits[r]
                             plo = flo * b
                             phi = fhi * b
@@ -475,6 +493,13 @@ def _make_kernel_ts_mb(params: TfheParams, g_tile: int):
                         tlo_ = _redfbt(S[v][c2][0], p, ip)
                         thi_ = _redfbt(S[v][c2][1], p, ip)
                         d, nn = D[c2], Nc[c2]
+                        if "nogmul" in ablate:  # probe: subset cost
+                            if d[0] is None:
+                                d[0], d[1] = tlo_, thi_
+                            else:
+                                d[0] = d[0] + tlo_
+                                d[1] = d[1] + thi_
+                            continue
                         if d[1] is not None and nn[1] + 2 > dchunk:
                             d[1] = _redfbt(d[1], p, ip)
                             nn[1] = 0
@@ -512,20 +537,30 @@ def _make_kernel_ts_mb(params: TfheParams, g_tile: int):
                         d0 + _redfb(256.0 * u, p, ip), p, ip
                     )
 
+            if "noptw" in ablate:
+                conv_pi = [
+                    [fwd_pi[0][tp] for tp in range(TP)] for _ in range(kp1)
+                ]
             # inverse NTT for this prime (kp1 polys along sublanes)
             xs2 = []
             for tp in range(TP):
                 stacked = jnp.concatenate(
                     [conv_pi[c][tp] for c in range(kp1)], axis=0
                 )  # [kp1*G, L] balanced f32
-                ob = _mmL_bal(
-                    stacked, w2fi_ref[pi, tp, 0], w2fi_ref[pi, tp, 1], p, ip
-                )
+                if "noimm" in ablate:  # probe: inverse matmul cost
+                    ob = stacked
+                else:
+                    ob = _mmL_bal(
+                        stacked, w2fi_ref[pi, tp, 0], w2fi_ref[pi, tp, 1],
+                        p, ip,
+                    )
                 i32 = ob.astype(jnp.int32)
                 xs2.append(
                     jnp.where(i32 < 0, i32 + p, i32).astype(jnp.uint32)
                 )
-            inv_res.append(_ts_inv8(xs2, ISTW, pi, p))
+            inv_res.append(
+                xs2 if "noinv8" in ablate else _ts_inv8(xs2, ISTW, pi, p)
+            )
 
         for c in range(kp1):
             for tp in range(TP):
@@ -535,9 +570,14 @@ def _make_kernel_ts_mb(params: TfheParams, g_tile: int):
                 ]
                 # additive-identity CMux: the v=0 GGSW-of-1 product is
                 # exactly acc, so ADD the external product here
-                acc_scr[c, tp] = acc_scr[c, tp] + _crt_fast(
-                    res, CRT_W_MOD, CRT_FRAC, PROD_MOD
-                )
+                if "nocrt" in ablate:  # probe: CRT recombination cost
+                    acc_scr[c, tp] = (
+                        acc_scr[c, tp] + res[0] + res[1] + res[2] + res[3]
+                    )
+                else:
+                    acc_scr[c, tp] = acc_scr[c, tp] + _crt_fast(
+                        res, CRT_W_MOD, CRT_FRAC, PROD_MOD
+                    )
 
         @pl.when(j == n // g - 1)
         def _():
@@ -547,7 +587,7 @@ def _make_kernel_ts_mb(params: TfheParams, g_tile: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "g_tile", "interpret")
+    jax.jit, static_argnames=("params", "g_tile", "interpret", "ablate")
 )
 def blind_rotate_ts_mb(
     params: TfheParams,
@@ -556,6 +596,7 @@ def blind_rotate_ts_mb(
     testv,
     g_tile: int = 512,
     interpret: bool = False,
+    ablate: str = "",
 ):
     """Multi-bit MXU blind rotation, transposed-packed layout.
 
@@ -601,7 +642,9 @@ def blind_rotate_ts_mb(
     )
     abar_t = jnp.transpose(abar.reshape(tiles, g_tile, n), (0, 2, 1))
 
-    kernel = _make_kernel_ts_mb(params, g_tile)
+    kernel = _make_kernel_ts_mb(
+        params, g_tile, frozenset(ablate.split(",")) - {""}
+    )
 
     def cmap(shape):
         nd = len(shape)

@@ -16,11 +16,13 @@
 //   helm_encrypt_lwe(key, n, mu, m, noise_std, key32, nthreads, out) fills
 //     out[m][n+1] with LWE encryptions b = <a,s> + mu_i + e (q = 2^32,
 //     wrapping). PRNG: ChaCha20 (RFC 8439 block function) keyed by the
-//     caller-provided 256-bit key32, one nonce-separated stream per thread
+//     caller-provided 256-bit key32, one nonce-separated stream per fixed
+//     1024-row block (output identical for every nthreads value)
 //     — CSPRNG-grade, matching the Python ChaChaGenerator's threat model
 //     (helm_tpu/fhe/csprng.py; the reference's client is tfhe-rs, which is
 //     CSPRNG-seeded throughout — Cargo.toml:18).
 
+#include <atomic>
 #include <cctype>
 #include <cinttypes>
 #include <cmath>
@@ -130,19 +132,27 @@ void helm_encrypt_lwe(const uint32_t* key, int n, const uint32_t* mu, long m,
                       double noise_std, const uint8_t* key32, int nthreads,
                       uint32_t* out) {
   if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
-  if (nthreads <= 1 || m < 64) {
-    encrypt_rows(key, n, mu, 0, m, noise_std, key32, 0, out);
+  // Nonce-separated streams keyed by FIXED row blocks (not thread index):
+  // stream b encrypts rows [b*kRowsPerStream, ...), so the ciphertexts a
+  // given (key32, mu) produces are identical for every nthreads value and
+  // batch-size threshold. Threads pull blocks from an atomic counter.
+  const long kRowsPerStream = 1024;
+  long nblocks = (m + kRowsPerStream - 1) / kRowsPerStream;
+  std::atomic<long> next(0);
+  auto worker = [&]() {
+    long b;
+    while ((b = next.fetch_add(1)) < nblocks) {
+      long lo = b * kRowsPerStream, hi = std::min(m, lo + kRowsPerStream);
+      encrypt_rows(key, n, mu, lo, hi, noise_std, key32, (uint64_t)b, out);
+    }
+  };
+  long nt = std::min((long)nthreads, nblocks);
+  if (nt <= 1) {
+    worker();
     return;
   }
   std::vector<std::thread> ts;
-  long chunk = (m + nthreads - 1) / nthreads;
-  for (int t = 0; t < nthreads; t++) {
-    long lo = t * chunk, hi = std::min(m, lo + chunk);
-    if (lo >= hi) break;
-    // nonce-separated streams: same key, stream id = thread index
-    ts.emplace_back(encrypt_rows, key, n, mu, lo, hi, noise_std, key32,
-                    (uint64_t)(t + 1), out);
-  }
+  for (long t = 0; t < nt; t++) ts.emplace_back(worker);
   for (auto& th : ts) th.join();
 }
 

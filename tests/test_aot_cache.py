@@ -108,6 +108,46 @@ def test_corrupt_entry_falls_back(forced_cache):
     assert d["errors"] == 1 and d["misses"] == 1
 
 
+def test_tampered_entry_fails_closed(forced_cache):
+    """A bit-flip anywhere in the framed entry must fail the sha256 check
+    (ValueError inside the loader -> warn + recompile), never reach the
+    PJRT deserializer, and never involve pickle."""
+    def fn(x):
+        return x + 7
+
+    x = jnp.arange(5, dtype=jnp.float32)
+    CachedJit(fn, name="t_tamper")(x)
+    (entry,) = forced_cache.glob("t_tamper-*.pjrt")
+    raw = bytearray(entry.read_bytes())
+    assert raw.startswith(aot_cache._MAGIC)
+    raw[-1] ^= 0xFF  # flip a payload bit; digest no longer matches
+    entry.write_bytes(bytes(raw))
+    before = dict(aot_cache.stats)
+    with pytest.warns(UserWarning, match="checksum mismatch"):
+        out = CachedJit(fn, name="t_tamper")(x)
+    assert np.array_equal(out, np.arange(5) + 7.0)
+    d = _delta(before)
+    assert d["errors"] == 1 and d["misses"] == 1
+
+
+def test_entry_format_is_not_pickle(forced_cache):
+    """Entries are framed bytes (magic + digest + body); a malicious
+    pickle dropped in the cache dir is rejected at the magic check."""
+    import pickle
+
+    CachedJit(lambda x: x * 2, name="t_fmt")(jnp.ones(3))
+    (entry,) = forced_cache.glob("t_fmt-*.pjrt")
+    data = entry.read_bytes()
+    assert data.startswith(aot_cache._MAGIC)
+    payload, ids = aot_cache._unpack_entry(data)
+    assert isinstance(payload, bytes) and all(isinstance(i, int) for i in ids)
+    # a pickle bomb in the entry's place is refused before deserialization
+    entry.write_bytes(pickle.dumps({"payload": b"boom", "device_ids": [0]}))
+    with pytest.warns(UserWarning, match="bad magic"):
+        out = CachedJit(lambda x: x * 2, name="t_fmt")(jnp.ones(3))
+    assert np.array_equal(out, np.full(3, 2.0))
+
+
 def test_disabled_by_env(tmp_path, monkeypatch):
     monkeypatch.setenv("HELM_TPU_AOT_CACHE", "")
     monkeypatch.setattr(aot_cache, "FORCE", [True])

@@ -122,3 +122,34 @@ def test_native_loader_batch_encrypt_roundtrip():
     a = native_loader.encrypt_batch(ck.lwe_key, mu[:4], 0.0, seed=9)
     b = native_loader.encrypt_batch(ck.lwe_key, mu[:4], 0.0, seed=9)
     assert (a == b).all()
+
+
+def test_native_loader_nthreads_invariant():
+    """Seeded output is identical for every nthreads value and for the
+    single-thread small-batch path (streams are keyed by fixed row
+    blocks, not thread index — seeded runs must be reproducible)."""
+    import numpy as np
+
+    from helm_tpu import params as P
+    from helm_tpu.fhe import lwe
+    from helm_tpu.io import native_loader
+
+    if not native_loader.native_available():
+        pytest.skip("native/libhelm_loader.so not built")
+    p = P.GATES_TPU
+    ck = lwe.keygen(p, seed=12)
+    # > 2 stream blocks so the atomic block walk is exercised
+    mu = np.random.default_rng(5).integers(
+        0, 1 << 32, 2500, dtype=np.uint64
+    ).astype(np.uint32)
+    ref = native_loader.encrypt_batch(ck.lwe_key, mu, 3.5, seed=21, nthreads=1)
+    for nt in (2, 7, 0):
+        got = native_loader.encrypt_batch(
+            ck.lwe_key, mu, 3.5, seed=21, nthreads=nt
+        )
+        assert np.array_equal(ref, got), f"nthreads={nt} changed ciphertexts"
+    # prefix stability: a smaller batch is a prefix of the larger one
+    small = native_loader.encrypt_batch(
+        ck.lwe_key, mu[:40], 3.5, seed=21, nthreads=4
+    )
+    assert np.array_equal(ref[:40], small)

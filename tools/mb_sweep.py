@@ -44,10 +44,15 @@ lin = (
 lin[:, p.n] += np.uint32((-(1 << 29)) % (1 << 32))
 testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
 x = jnp.asarray(lin)
-layout = os.environ.get("LAYOUT", "gm")  # gm = gate-major, fs = freq-sublane
+layout = os.environ.get("LAYOUT", "gm")  # gm | fs | ts
 if layout == "fs":
     bsk_args = (mxu_pbs.mxu_server_key_fs(dsk),)
     rot_fn = mxu_pbs.blind_rotate_fs_mb
+elif layout == "ts":
+    from helm_tpu.ops import ts_pbs
+
+    bsk_args = (ts_pbs.mxu_server_key_ts(dsk),)
+    rot_fn = ts_pbs.blind_rotate_ts_mb
 else:
     bsk_args = mxu_pbs.mxu_server_key(dsk)
     rot_fn = mxu_pbs.blind_rotate_mxu_mb
