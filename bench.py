@@ -28,22 +28,63 @@ import time
 
 HELM_CPU_BASELINE_BS_PER_SEC = 6400.0
 
+# last successful on-chip measurement, persisted so a flaky tunnel at
+# capture time still yields an (explicitly stale-marked) number
+LAST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_last.json")
 
-def main():
-    # fail fast if the TPU backend is unreachable — a hung axon init
-    # otherwise stalls the whole bench run for its full timeout
+
+def _probe_backend() -> bool:
+    """Probe TPU reachability with retries + backoff.
+
+    One 300 s probe timeout lost round 2's entire capture to a transient
+    tunnel outage; now we make BENCH_PROBE_RETRIES (default 6) probes of
+    BENCH_PROBE_TIMEOUT (default 120 s) each, sleeping 30/60/90/... s in
+    between — ~15 min of patience total by default."""
     import subprocess
 
+    retries = int(os.environ.get("BENCH_PROBE_RETRIES", "6"))
+    tmo = float(os.environ.get("BENCH_PROBE_TIMEOUT", "120"))
+    for i in range(1, retries + 1):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=tmo,
+                check=True,
+                capture_output=True,
+            )
+            return True
+        except Exception as e:
+            print(
+                f"[bench] TPU probe {i}/{retries} failed: {type(e).__name__}",
+                file=sys.stderr,
+            )
+            if i < retries:
+                time.sleep(min(30 * i, 120))
+    return False
+
+
+def _fail_with_stale(reason: str) -> int:
+    out = {
+        "metric": "gate_bootstraps_per_sec_per_chip",
+        "value": None,
+        "unit": "bootstraps/s",
+        "vs_baseline": None,
+        "error": reason,
+    }
     try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=float(os.environ.get("BENCH_PROBE_TIMEOUT", "300")),
-            check=True,
-            capture_output=True,
-        )
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
-        print(f"[bench] TPU backend unreachable: {e}", file=sys.stderr)
-        return 1
+        with open(LAST_PATH) as f:
+            out["last_measurement"] = json.load(f)  # has measured_at + stale
+    except Exception:
+        pass
+    print(json.dumps(out))
+    return 1
+
+
+def main():
+    # fail fast (but patiently) if the TPU backend is unreachable — a hung
+    # axon init otherwise stalls the whole bench run for its full timeout
+    if not _probe_backend():
+        return _fail_with_stale("TPU backend unreachable after retries")
 
     import numpy as np
 
@@ -132,24 +173,39 @@ def main():
     exp = bits1 & bits2
     assert (got == exp).all(), "bootstrap outputs wrong — not benchmarking a broken kernel"
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = bs(dsk, x, testv)
-    np.asarray(out)  # force materialization (block_until_ready can be a no-op
-    # on the tunneled platform)
-    dt = time.perf_counter() - t0
+    # median of N timing windows (not best-run): the recorded run-to-run
+    # drift band at GATES_128_K3 is ~±10%, so a single window (and
+    # especially a best-of) overstates reproducible throughput
+    nwin = max(1, int(os.environ.get("BENCH_MEDIAN_N", "5")))
+    rates = []
+    for w in range(nwin):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = bs(dsk, x, testv)
+        np.asarray(out)  # force materialization (block_until_ready can be
+        # a no-op on the tunneled platform)
+        dt = time.perf_counter() - t0
+        rates.append(G * iters / dt)
+        print(f"[bench] window {w+1}/{nwin}: {rates[-1]:.1f} bs/s", file=sys.stderr)
 
-    value = G * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "gate_bootstraps_per_sec_per_chip",
-                "value": round(value, 2),
-                "unit": "bootstraps/s",
-                "vs_baseline": round(value / HELM_CPU_BASELINE_BS_PER_SEC, 3),
-            }
-        )
-    )
+    value = float(np.median(rates))
+    rec = {
+        "metric": "gate_bootstraps_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "bootstraps/s",
+        "vs_baseline": round(value / HELM_CPU_BASELINE_BS_PER_SEC, 3),
+        "median_of": nwin,
+        "windows": [round(r, 1) for r in rates],
+    }
+    try:  # persist for the stale-fallback path; never let this fail a run
+        with open(LAST_PATH, "w") as f:
+            json.dump(
+                {**rec, "stale": True, "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())},
+                f,
+            )
+    except Exception:
+        pass
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
