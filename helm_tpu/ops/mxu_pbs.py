@@ -832,7 +832,10 @@ def _fs_inv8(xs, istw, pi: int, p: int):
 
 
 def _make_kernel_fs_mb(
-    params: TfheParams, g_tile: int, ablate: frozenset = frozenset()
+    params: TfheParams,
+    g_tile: int,
+    ablate: frozenset = frozenset(),
+    tsptw: bool = False,
 ):
     """Multi-bit blind rotation in the frequency-in-sublanes layout.
 
@@ -1038,7 +1041,168 @@ def _make_kernel_fs_mb(
                     fwd_pi[r][t] = f[:, r * G : (r + 1) * G]
 
             conv_pi = [[None] * N1 for _ in range(kp1)]
-            if "noptw" not in ablate:
+            stacked_pre = [None] * N1
+            if tsptw:
+                # ---- HYBRID: fs transforms, ts-oriented pointwise ----
+                # The fs lane-splat BSK loads are 53% of kernel time while
+                # the ts row-broadcast pointwise is near-free — but ts's
+                # transform stages are ~3.5x slower (measured 2026-08-20:
+                # fs-noptw 47 ms vs ts-noptw 166 ms per 1024 rot). Here the
+                # fwd rows are TRANSPOSED into the ts packed layout (tile
+                # pairs (tp, tp+4) in lane halves), the pointwise + subset
+                # stage runs exactly as in ops/ts_pbs (same accumulation
+                # order and reduction points -> bit-identical), and the
+                # result transposes back for the fs inverse matmul.
+                # bsk_ref here is the TS layout (mxu_server_key_ts).
+                TPh = N1 // 2
+                Lh = 2 * N2
+
+                def ohmm_ts(ohT, tref):
+                    # contract dim 0 of both: [K, G] x [K, M] -> [G, M]
+                    return jax.lax.dot_general(
+                        ohT, tref, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                # fwd rows to ts orientation: one transpose per (pi, t)
+                fwdT_t = [jnp.transpose(fwd_full[t]) for t in range(N1)]
+                fwd_ts = [[None] * TPh for _ in range(rows_tot)]
+                for r in range(rows_tot):
+                    for tp in range(TPh):
+                        fwd_ts[r][tp] = jnp.concatenate(
+                            [
+                                fwdT_t[tp][r * G : (r + 1) * G, :],
+                                fwdT_t[tp + TPh][r * G : (r + 1) * G, :],
+                            ],
+                            axis=1,
+                        )  # [G, Lh]
+                # monomials + subset polys in ts orientation (tlo_ref /
+                # thi_ref hold the TS tables when tsptw)
+                Mall = []  # [i] -> [G, N1*N2] balanced f32
+                for i in range(g):
+                    oh_lo, oh_hi = ohs[i]
+                    l0 = ohmm_ts(oh_lo, tlo_ref[pi, 0])
+                    l1 = ohmm_ts(oh_lo, tlo_ref[pi, 1])
+                    hv = ohmm_ts(oh_hi, thi_ref[pi, 0]) + 256.0 * ohmm_ts(
+                        oh_hi, thi_ref[pi, 1]
+                    )
+                    Mall.append(
+                        _redfbt(
+                            l0 * hv + 256.0 * _redfbt(l1 * hv, p, ip),
+                            p, ip,
+                        )
+                    )
+                pva = {}
+                for v in range(1, nv):
+                    idxs = [i for i in range(g) if (v >> i) & 1]
+                    cur = Mall[idxs[0]] - 1.0
+                    for i in idxs[1:]:
+                        cur = _fgmul(cur, Mall[i] - 1.0, p, ip)
+                    pva[v] = _split256(cur)
+
+                conv_ts = [[None] * TPh for _ in range(kp1)]
+                for tp in range(TPh):
+                    sl = slice(tp * Lh, (tp + 1) * Lh)
+                    pvt = {
+                        v: (pva[v][0][:, sl], pva[v][1][:, sl])
+                        for v in range(1, nv)
+                    }
+                    D = [[None, None, None] for _ in range(kp1)]
+                    Nc = [[0, 0, 0] for _ in range(kp1)]
+                    S = [
+                        [[None, None] for _ in range(kp1)]
+                        for _ in range(nv)
+                    ]
+                    # pointwise: each BSK operand is a [1, Lh] ROW
+                    # broadcast across gate sublanes (native splat)
+                    splits = [
+                        _split256(fwd_ts[r][tp]) for r in range(rows_tot)
+                    ]
+                    for v in range(1, nv):
+                        for c2 in range(kp1):
+                            base = (
+                                (((v - 1) * kp1 + c2) * NP + pi) * TPh + tp
+                            ) * rows_tot
+                            slo = shi = None
+                            cc = 0
+                            for r in range(rows_tot):
+                                if "nobsk" in ablate:  # probe: load cost
+                                    b = jnp.float32(3.0 + r + v)
+                                else:
+                                    b = jnp.broadcast_to(
+                                        bsk_ref[0][
+                                            base + r : base + r + 1, :
+                                        ],
+                                        (G, Lh),
+                                    )
+                                flo, fhi = splits[r]
+                                plo = flo * b
+                                phi = fhi * b
+                                slo = plo if slo is None else slo + plo
+                                shi = phi if shi is None else shi + phi
+                                cc += 1
+                                if cc == chunk and r + 1 < rows_tot:
+                                    slo = _redfbt(slo, p, ip)
+                                    shi = _redfbt(shi, p, ip)
+                                    cc = 1
+                            S[v][c2][0], S[v][c2][1] = slo, shi
+                    # subset combination (same accumulation order as fs)
+                    for v in range(1, nv):
+                        for c2 in range(kp1):
+                            tlo_ = _redfbt(S[v][c2][0], p, ip)
+                            thi_ = _redfbt(S[v][c2][1], p, ip)
+                            d, nn = D[c2], Nc[c2]
+                            if d[1] is not None and nn[1] + 2 > dchunk:
+                                d[1] = _redfbt(d[1], p, ip)
+                                nn[1] = 0
+                            if d[0] is not None and nn[0] + 1 > dchunk:
+                                d[0] = _redfbt(d[0], p, ip)
+                                nn[0] = 0
+                            if d[2] is not None and nn[2] + 1 > dchunk:
+                                d[2] = _redfbt(d[2], p, ip)
+                                nn[2] = 0
+                            p0l, p1l = pvt[v]
+                            if d[0] is None:
+                                d[0] = p0l * tlo_
+                                d[1] = p1l * tlo_ + p0l * thi_
+                            else:
+                                d[0] = d[0] + p0l * tlo_
+                                d[1] = d[1] + p1l * tlo_ + p0l * thi_
+                            d[2] = (
+                                p1l * thi_
+                                if d[2] is None
+                                else d[2] + p1l * thi_
+                            )
+                            nn[0] += 1
+                            nn[1] += 2
+                            nn[2] += 1
+                    for c2 in range(kp1):
+                        d0, d1, d2 = D[c2]
+                        if d2 is None:
+                            u = _redfbt(d1, p, ip)
+                        else:
+                            u = _redfbt(
+                                d1
+                                + _redfb(
+                                    256.0 * _redfbt(d2, p, ip), p, ip
+                                ),
+                                p, ip,
+                            )
+                        conv_ts[c2][tp] = _redfbt(
+                            d0 + _redfb(256.0 * u, p, ip), p, ip
+                        )
+                # back to fs orientation: one transpose per (pi, t), with
+                # the kp1 components pre-stacked along sublanes so the
+                # transposed result IS the inverse matmul's operand
+                for t in range(N1):
+                    tp, half = t % TPh, t // TPh
+                    sl = slice(half * N2, (half + 1) * N2)
+                    st = jnp.concatenate(
+                        [conv_ts[c][tp][:, sl] for c in range(kp1)],
+                        axis=0,
+                    )  # [kp1*G, N2]
+                    stacked_pre[t] = jnp.transpose(st)  # [N2, kp1*G]
+            if "noptw" not in ablate and not tsptw:
                 # monomial NTTs for ALL tiles at once: the flat [N1*N2, .]
                 # tables turn 8 skinny one-hot matmuls into one per limb
                 Mall = []  # [i] -> [N1*N2, G] balanced f32
@@ -1074,7 +1238,7 @@ def _make_kernel_fs_mb(
                     for i in idxs[1:]:
                         cur = _fgmul(cur, Mall[i] - 1.0, p, ip)
                     pva[v] = _split256(cur)
-            for t in range(N1 if "noptw" not in ablate else 0):
+            for t in range(0 if ("noptw" in ablate or tsptw) else N1):
                 pvt = {
                     v: (
                         pva[v][0][t * N2 : (t + 1) * N2],
@@ -1261,8 +1425,12 @@ def _make_kernel_fs_mb(
             # inverse NTT for this prime (kp1 polys along lanes)
             xs2 = []
             for t in range(N1):
-                stacked = jnp.concatenate(
-                    [conv_pi[c][t] for c in range(kp1)], axis=1
+                stacked = (
+                    stacked_pre[t]
+                    if tsptw
+                    else jnp.concatenate(
+                        [conv_pi[c][t] for c in range(kp1)], axis=1
+                    )
                 )  # [N2, kp1*G] balanced f32
                 if "noimm" in ablate:  # probe: inverse 128-matmul cost
                     i32 = stacked.astype(jnp.int32)
@@ -1845,7 +2013,8 @@ def _fs_tables(N: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "g_tile", "interpret", "ablate")
+    jax.jit,
+    static_argnames=("params", "g_tile", "interpret", "ablate", "tsptw"),
 )
 def blind_rotate_fs_mb(
     params: TfheParams,
@@ -1855,11 +2024,17 @@ def blind_rotate_fs_mb(
     g_tile: int = 256,
     interpret: bool = False,
     ablate: str = "",
+    tsptw: bool = False,
 ):
     """Multi-bit MXU blind rotation, frequency-in-sublanes layout.
 
     g_tile here is the number of gates per kernel batch (the lane width of
-    every tile array); 256 = two vregs wide."""
+    every tile array); 256 = two vregs wide.
+
+    tsptw=True runs the HYBRID kernel: fs transforms with the pointwise +
+    subset stage transposed into the ts packed layout (cheap sublane BSK
+    broadcasts instead of the 53%-of-time lane splats) — `bsk` must then
+    be mxu_server_key_ts(dsk). Bit-identical to tsptw=False."""
     from ..fhe import ops as fops
 
     N, k, n = params.N, params.k, params.n
@@ -1900,7 +2075,7 @@ def blind_rotate_fs_mb(
     abar_t = jnp.transpose(abar.reshape(tiles, g_tile, n), (0, 2, 1))
 
     kernel = _make_kernel_fs_mb(
-        params, g_tile, frozenset(ablate.split(",")) - {""}
+        params, g_tile, frozenset(ablate.split(",")) - {""}, tsptw
     )
 
     def cmap(shape):
@@ -1909,7 +2084,25 @@ def blind_rotate_fs_mb(
             shape, lambda i, j, _nd=nd: (0,) * _nd, memory_space=pltpu.VMEM
         )
 
-    CC = (nv - 1) * rows * kp1 * NP * N1
+    if tsptw:
+        # monomial tables + BSK in the ts packed layout
+        from .ts_pbs import _ts_tables
+
+        tst = _ts_tables(N)
+        tlo_in = jnp.asarray(tst["tloT"], dtype=jnp.bfloat16)
+        thi_in = jnp.asarray(tst["thiT"], dtype=jnp.bfloat16)
+        RS = (nv - 1) * kp1 * NP * (N1 // 2) * rows
+        bsk_spec = pl.BlockSpec(
+            (1, RS, 2 * N2), lambda i, j: (j, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        tlo_in = jnp.asarray(fst["tlo"], dtype=jnp.bfloat16)
+        thi_in = jnp.asarray(fst["thi"], dtype=jnp.bfloat16)
+        CC = (nv - 1) * rows * kp1 * NP * N1
+        bsk_spec = pl.BlockSpec(
+            (1, N2, CC), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+        )
     out = pl.pallas_call(
         kernel,
         grid=(tiles, groups),
@@ -1921,11 +2114,9 @@ def blind_rotate_fs_mb(
             pl.BlockSpec((1, n, g_tile), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             cmap((NP, N1, 2, N2, N2)),
             cmap((NP, N1, 2, N2, N2)),
-            cmap(fst["tlo"].shape),
-            cmap(fst["thi"].shape),
-            pl.BlockSpec(
-                (1, N2, CC), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
-            ),
+            cmap(tuple(tlo_in.shape)),
+            cmap(tuple(thi_in.shape)),
+            bsk_spec,
         ],
         out_specs=pl.BlockSpec(
             (1, kp1, N1, N2, g_tile), lambda i, j: (i, 0, 0, 0, 0),
@@ -1947,8 +2138,8 @@ def blind_rotate_fs_mb(
         # [NP, N1, 2, N2, N2] — 33 MB in f32 at N=2048)
         jnp.asarray(fst["w2f"], dtype=jnp.bfloat16),
         jnp.asarray(fst["w2fi"], dtype=jnp.bfloat16),
-        jnp.asarray(fst["tlo"], dtype=jnp.bfloat16),
-        jnp.asarray(fst["thi"], dtype=jnp.bfloat16),
+        tlo_in,
+        thi_in,
         bsk,
     )
     # [tiles, kp1, N1, N2, G] -> [Gp, kp1, N]

@@ -318,3 +318,54 @@ def test_ts_multibit_per_gate_testv_and_ragged(keys_mb):
         )
     )
     np.testing.assert_array_equal(got, ref)
+
+
+def test_hb_multibit_blind_rotate_matches_jnp(keys_mb):
+    """HYBRID kernel (fs transforms + ts-oriented pointwise,
+    blind_rotate_fs_mb(tsptw=True)) bit-equals the jnp reference."""
+    from helm_tpu.ops import mxu_pbs, ts_pbs
+
+    p, ck, dsk = keys_mb
+    rng = np.random.default_rng(23)
+    bits = rng.integers(0, 2, 8).astype(bool)
+    ct = lwe.encrypt(ck, lwe.encode_bool(bits))
+    testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
+    ref = np.asarray(
+        jax.jit(pbs_jnp.blind_rotate_multibit)(dsk, jnp.asarray(ct), testv)
+    )
+    bsk_ts = ts_pbs.mxu_server_key_ts(dsk)
+    got = np.asarray(
+        mxu_pbs.blind_rotate_fs_mb(
+            p, bsk_ts, jnp.asarray(ct), testv,
+            g_tile=8, interpret=True, tsptw=True,
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_hb_multibit_k3_matches_fs():
+    """Hybrid kernel bit-equals the fs kernel at a k=3 geometry (the
+    GATES_128_K3 deployment shape) including the padding path."""
+    from helm_tpu.ops import mxu_pbs, ts_pbs
+
+    p = P.TEST_PARAMS_K3
+    ck = lwe.keygen(p, seed=51)
+    dsk = pbs_jnp.DeviceServerKey.from_host(server_key.gen_server_key(ck))
+    rng = np.random.default_rng(29)
+    G = 11  # not a multiple of g_tile=8: exercises padding
+    bits = rng.integers(0, 2, G).astype(bool)
+    ct = lwe.encrypt(ck, lwe.encode_bool(bits))
+    testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
+    ref = np.asarray(
+        mxu_pbs.blind_rotate_fs_mb(
+            p, mxu_pbs.mxu_server_key_fs(dsk), jnp.asarray(ct), testv,
+            g_tile=8, interpret=True,
+        )
+    )
+    got = np.asarray(
+        mxu_pbs.blind_rotate_fs_mb(
+            p, ts_pbs.mxu_server_key_ts(dsk), jnp.asarray(ct), testv,
+            g_tile=8, interpret=True, tsptw=True,
+        )
+    )
+    np.testing.assert_array_equal(got, ref)

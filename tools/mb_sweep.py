@@ -44,7 +44,7 @@ lin = (
 lin[:, p.n] += np.uint32((-(1 << 29)) % (1 << 32))
 testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
 x = jnp.asarray(lin)
-layout = os.environ.get("LAYOUT", "gm")  # gm | fs | ts
+layout = os.environ.get("LAYOUT", "gm")  # gm | fs | ts | hb
 if layout == "fs":
     bsk_args = (mxu_pbs.mxu_server_key_fs(dsk),)
     rot_fn = mxu_pbs.blind_rotate_fs_mb
@@ -53,6 +53,13 @@ elif layout == "ts":
 
     bsk_args = (ts_pbs.mxu_server_key_ts(dsk),)
     rot_fn = ts_pbs.blind_rotate_ts_mb
+elif layout == "hb":
+    import functools
+
+    from helm_tpu.ops import ts_pbs
+
+    bsk_args = (ts_pbs.mxu_server_key_ts(dsk),)
+    rot_fn = functools.partial(mxu_pbs.blind_rotate_fs_mb, tsptw=True)
 else:
     bsk_args = mxu_pbs.mxu_server_key(dsk)
     rot_fn = mxu_pbs.blind_rotate_mxu_mb
