@@ -1128,6 +1128,12 @@ def _make_kernel_fs_mb(
                             for r in range(rows_tot):
                                 if "nobsk" in ablate:  # probe: load cost
                                     b = jnp.float32(3.0 + r + v)
+                                elif "implrow" in ablate:
+                                    # leave the [1, Lh] row implicit: let
+                                    # Mosaic splat it once into a vreg at
+                                    # the consuming fma instead of
+                                    # materializing a [G, Lh] value
+                                    b = bsk_ref[0][base + r : base + r + 1, :]
                                 else:
                                     b = jnp.broadcast_to(
                                         bsk_ref[0][

@@ -20,9 +20,10 @@ run() {  # run <label> <timeout_s> <cmd...>
   log "--- $label done (rc=$?) ---"
 }
 
-# 0. ts 8-point-stage probes (missed in r3b's trim — prime suspects for
-#    the ts transform deficit)
-run ts-stages8 4800 env PSET=GATES_128_K3 LAYOUT=ts GTS=512 ABLATES="nofwd8:noinv8" python -u tools/mb_sweep.py
+# 0. HYBRID kernel A/B (the round-3 perf lever): fs transforms +
+#    ts-oriented pointwise, explicit vs implicit row broadcast
+run hb-base 3600 env PSET=GATES_128_K3 LAYOUT=hb GTS=512 ABLATES="" python -u tools/mb_sweep.py
+run hb-implrow 3600 env PSET=GATES_128_K3 LAYOUT=hb GTS=512 ABLATES="implrow:nobsk" python -u tools/mb_sweep.py
 
 # 1. empirical noise validation at the deployment set (VERDICT #6)
 run noise-2e20 5400 env PSET=GATES_128_K3 SAMPLES=1048576 G=2048 python -u tools/noise_validate.py
