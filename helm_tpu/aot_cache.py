@@ -58,18 +58,50 @@ def _cache_dir() -> str | None:
     """
     env = os.environ.get("HELM_TPU_AOT_CACHE")
     if env is not None:
-        return env or None
+        return _safe_dir(env) if env else None
     from .compile_cache import _DEFAULT, _FALLBACK, _active
 
     base = _active[0] or _DEFAULT
     for cand in (base, _FALLBACK):
         path = os.path.join(cand, "aot")
         try:
-            os.makedirs(path, exist_ok=True)
-            return path
+            os.makedirs(path, mode=0o700, exist_ok=True)
         except OSError:
             continue
+        safe = _safe_dir(path)
+        if safe:
+            return safe
     return None
+
+
+def _safe_dir(path: str) -> str | None:
+    """Refuse cache dirs another user could write to.
+
+    Executables deserialize from here; a group/other-writable dir (or one
+    owned by someone else) would let another local user substitute a
+    validly-framed entry with a different compiled program. Fails open to
+    DISABLED (None) with a warning, never to trusting the dir. See
+    SECURITY.md "AOT executable cache trust model"."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    if hasattr(os, "geteuid"):  # POSIX: ownership + write bits
+        if st.st_uid == os.geteuid() and (st.st_mode & 0o022):
+            try:  # ours but loose (e.g. pre-hardening dir): tighten it
+                os.chmod(path, st.st_mode & ~0o022)
+                st = os.stat(path)
+            except OSError:
+                pass
+        if st.st_uid != os.geteuid() or (st.st_mode & 0o022):
+            warnings.warn(
+                f"AOT cache dir {path!r} is writable by other users "
+                "(or not owned by you); persistent executable cache "
+                "DISABLED. chmod go-w / chown it, or point "
+                "HELM_TPU_AOT_CACHE at a private directory."
+            )
+            return None
+    return path
 
 
 # Entry framing: MAGIC + sha256(body) + body, with body =

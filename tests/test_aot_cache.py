@@ -177,3 +177,22 @@ def test_engine_seam_unchanged_on_cpu():
     got = eng.decrypt_outputs(eng.evaluate(eng.encrypt_inputs(inputs)))
     for w, v in got.items():
         assert exp[w] == v, w
+
+
+def test_unsafe_cache_dir_disables(tmp_path, monkeypatch):
+    """A group/other-writable cache dir owned by us is tightened; one we
+    cannot tighten-or-trust disables persistence (fails open to
+    recompiling, never to loading from the dir)."""
+    import os
+
+    d = tmp_path / "aot"
+    d.mkdir()
+    os.chmod(d, 0o777)
+    monkeypatch.setenv("HELM_TPU_AOT_CACHE", str(d))
+    # ours + loose: tightened in place and accepted
+    assert aot_cache._cache_dir() == str(d)
+    assert (os.stat(d).st_mode & 0o022) == 0
+    # simulate a dir we cannot trust (not ours): patch geteuid
+    monkeypatch.setattr(os, "geteuid", lambda: os.stat(d).st_uid + 1)
+    with pytest.warns(UserWarning, match="writable by other users"):
+        assert aot_cache._cache_dir() is None
