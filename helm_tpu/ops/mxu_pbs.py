@@ -2200,6 +2200,15 @@ def bootstrap_mxu(
                     else (256 if dsk.params.N <= 1024 else 128)
                 )
             )
+            if not interpret:
+                # LATENCY: narrow levels (single-vector circuit evaluation)
+                # otherwise pad to the full tile — a 16-slot level at
+                # g_tile=512 burns 32x the VPU work. Shrink the tile to the
+                # batch (128-lane granularity); each batch shape compiles
+                # its own executable anyway, so this costs no extra
+                # compiles. Measured A/B via HELM_TPU_GT=512 override.
+                gb = -(-int(lwe_in.shape[0]) // 128) * 128
+                g_tile = min(g_tile, max(128, gb))
         if use_ts_kernel():
             bsk = keys[0] if keys is not None else mxu_server_key_ts(dsk)
             acc = blind_rotate_ts_mb(
