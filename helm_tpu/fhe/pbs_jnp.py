@@ -78,7 +78,7 @@ class DeviceServerKey:
 
             keys = (
                 (ts_pbs.mxu_server_key_ts(self),)
-                if ts_pbs.use_ts_kernel()
+                if ts_pbs.mb_kernel() in ("ts", "hb")
                 else (mxu_pbs.mxu_server_key_fs(self),)
             )
         else:

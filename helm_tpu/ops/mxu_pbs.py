@@ -2181,8 +2181,8 @@ def bootstrap_mxu(
     if dsk.params.grouping > 1:
         from .ts_pbs import (
             blind_rotate_ts_mb,
+            mb_kernel,
             mxu_server_key_ts,
-            use_ts_kernel,
         )
 
         if g_tile is None and not interpret and os.environ.get("HELM_TPU_GT"):
@@ -2209,11 +2209,19 @@ def bootstrap_mxu(
                 # compiles. Measured A/B via HELM_TPU_GT=512 override.
                 gb = -(-int(lwe_in.shape[0]) // 128) * 128
                 g_tile = min(g_tile, max(128, gb))
-        if use_ts_kernel():
+        kn = mb_kernel()
+        if kn == "ts":
             bsk = keys[0] if keys is not None else mxu_server_key_ts(dsk)
             acc = blind_rotate_ts_mb(
                 dsk.params, bsk, lwe_in, testv,
                 g_tile=g_tile, interpret=interpret,
+            )
+        elif kn == "hb":
+            bsk = keys[0] if keys is not None else mxu_server_key_ts(dsk)
+            acc = blind_rotate_fs_mb(
+                dsk.params, bsk, lwe_in, testv,
+                g_tile=g_tile, interpret=interpret, tsptw=True,
+                ablate=os.environ.get("HELM_TPU_HB_ABLATE", ""),
             )
         else:
             bsk = keys[0] if keys is not None else mxu_server_key_fs(dsk)

@@ -64,16 +64,33 @@ from .mxu_pbs import (
 TP = N1 // 2  # lane-packed tile pairs (tp, tp+4)
 
 
+#: default multi-bit kernel: "fs" | "ts" | "hb" (hybrid: fs transforms +
+#: ts-oriented pointwise, blind_rotate_fs_mb(tsptw=True)). Flip after an
+#: on-chip A/B, never on a projection.
+DEFAULT_MB_KERNEL = "fs"
+
+
+def mb_kernel() -> str:
+    """Multi-bit kernel choice: HELM_TPU_MB_KERNEL env beats the default.
+
+    History: ts MEASURED SLOWER than fs on-chip (2026-08-19, GATES_128_K3
+    full-PBS bench: ts 3054.8 vs fs 3237.3 bs/s; re-measured 2845.6 vs
+    3068.0 on 2026-08-20) — its block-diagonal [L, L] transform matmuls
+    do 2x the MACs of fs's dense [N2, N2] ones (measured: fwd matmul
+    68.7 ms vs fs's whole 47 ms transform complement). Kept as a tested
+    alternate backend and recorded negative result. The hybrid (hb)
+    keeps fs transforms and runs only the pointwise stage in the ts
+    layout."""
+    env = os.environ.get("HELM_TPU_MB_KERNEL")
+    if env in ("fs", "ts", "hb"):
+        return env
+    if os.environ.get("HELM_TPU_TS_KERNEL", "0") == "1":  # legacy knob
+        return "ts"
+    return DEFAULT_MB_KERNEL
+
+
 def use_ts_kernel() -> bool:
-    """Env gate. MEASURED SLOWER than the fs kernel on-chip (2026-08-19,
-    GATES_128_K3 full-PBS bench): ts 3054.8 (gt=512) / 2918.4 (gt=256)
-    bs/s vs fs 3237.3 — the microbenchmark's 16% pointwise win
-    (tools/ptw_probe.py) does not survive the full kernel's register
-    pressure: ts holds [rows*G, L] sublane-deep arrays through the NTT
-    stages where fs holds [N2, rows*G] lane-wide ones, and ts compiles
-    3.7x slower (872 s). Kept as a tested alternate backend
-    (HELM_TPU_TS_KERNEL=1) and as the recorded negative result."""
-    return os.environ.get("HELM_TPU_TS_KERNEL", "0") == "1"
+    return mb_kernel() == "ts"
 
 
 def _ts_fwd8(xs, stw, pi: int, p: int):
