@@ -1114,10 +1114,32 @@ def _make_kernel_fs_mb(
                         for _ in range(nv)
                     ]
                     # pointwise: each BSK operand is a [1, Lh] ROW
-                    # broadcast across gate sublanes (native splat)
-                    splits = [
-                        _split256(fwd_ts[r][tp]) for r in range(rows_tot)
-                    ]
+                    # broadcast across gate sublanes (native splat).
+                    # "blimb": the BSK rows are host-precomputed 8-bit limb
+                    # pairs (mxu_server_key_hb2) and the fwd rows are used
+                    # UNSPLIT — S = (sum fwd*b_lo) + 256*(sum fwd*b_hi)
+                    # decomposes identically to the fwd-split form, with
+                    # the same |.| <= (p/2)*128 chunk bound, so the final
+                    # outputs stay bit-identical while every runtime
+                    # _split256 in this stage disappears.
+                    blimb = "blimb" in ablate
+                    RSk = (nv - 1) * kp1 * NP * TPh * rows_tot
+                    if not blimb:
+                        splits = [
+                            _split256(fwd_ts[r][tp])
+                            for r in range(rows_tot)
+                        ]
+
+                    def brow(row):
+                        if "implrow" in ablate:
+                            # leave the [1, Lh] row implicit: Mosaic
+                            # splats it once into a vreg at the consuming
+                            # fma instead of materializing a [G, Lh] value
+                            return bsk_ref[0][row : row + 1, :]
+                        return jnp.broadcast_to(
+                            bsk_ref[0][row : row + 1, :], (G, Lh)
+                        )
+
                     for v in range(1, nv):
                         for c2 in range(kp1):
                             base = (
@@ -1127,23 +1149,22 @@ def _make_kernel_fs_mb(
                             cc = 0
                             for r in range(rows_tot):
                                 if "nobsk" in ablate:  # probe: load cost
-                                    b = jnp.float32(3.0 + r + v)
-                                elif "implrow" in ablate:
-                                    # leave the [1, Lh] row implicit: let
-                                    # Mosaic splat it once into a vreg at
-                                    # the consuming fma instead of
-                                    # materializing a [G, Lh] value
-                                    b = bsk_ref[0][base + r : base + r + 1, :]
-                                else:
-                                    b = jnp.broadcast_to(
-                                        bsk_ref[0][
-                                            base + r : base + r + 1, :
-                                        ],
-                                        (G, Lh),
+                                    flo, fhi = (
+                                        (fwd_ts[r][tp], fwd_ts[r][tp])
+                                        if blimb
+                                        else splits[r]
                                     )
-                                flo, fhi = splits[r]
-                                plo = flo * b
-                                phi = fhi * b
+                                    plo = flo * jnp.float32(3.0 + r + v)
+                                    phi = fhi * jnp.float32(5.0 + r + v)
+                                elif blimb:
+                                    f = fwd_ts[r][tp]
+                                    plo = f * brow(base + r)
+                                    phi = f * brow(RSk + base + r)
+                                else:
+                                    b = brow(base + r)
+                                    flo, fhi = splits[r]
+                                    plo = flo * b
+                                    phi = fhi * b
                                 slo = plo if slo is None else slo + plo
                                 shi = phi if shi is None else shi + phi
                                 cc += 1
@@ -2098,6 +2119,8 @@ def blind_rotate_fs_mb(
         tlo_in = jnp.asarray(tst["tloT"], dtype=jnp.bfloat16)
         thi_in = jnp.asarray(tst["thiT"], dtype=jnp.bfloat16)
         RS = (nv - 1) * kp1 * NP * (N1 // 2) * rows
+        if "blimb" in ablate:  # limb-pair rows (mxu_server_key_hb2)
+            RS *= 2
         bsk_spec = pl.BlockSpec(
             (1, RS, 2 * N2), lambda i, j: (j, 0, 0),
             memory_space=pltpu.VMEM,

@@ -316,6 +316,27 @@ def mxu_server_key_ts(dsk):
     return _layout_cache("ts", dsk.bsk_ntt, build)
 
 
+def mxu_server_key_hb2(dsk):
+    """TS-layout BSK as host-precomputed 8-bit limb row PAIRS.
+
+    [groups, 2*RS, L]: rows [0, RS) are the low limbs, rows [RS, 2*RS)
+    the high limbs of the balanced f32 entries (b = lo + 256*hi,
+    |lo|,|hi| <= 128). The hybrid kernel's `blimb` path multiplies the
+    UNSPLIT forward rows by these limb rows directly, removing every
+    runtime _split256 in the pointwise stage; |fwd * limb| <= (p/2)*128
+    keeps the same chunked-f32 exactness bound as the fwd-split form, so
+    the final outputs are bit-identical."""
+    from .mxu_pbs import _layout_cache
+
+    def build():
+        full = mxu_server_key_ts(dsk)  # [groups, RS, L] balanced f32
+        hi = jnp.floor(full * (1.0 / 256.0) + 0.5)
+        lo = full - 256.0 * hi
+        return jnp.concatenate([lo, hi], axis=1)
+
+    return _layout_cache("hb2", dsk.bsk_ntt, build)
+
+
 def _make_kernel_ts_mb(
     params: TfheParams, g_tile: int, ablate: frozenset = frozenset()
 ):

@@ -369,3 +369,33 @@ def test_hb_multibit_k3_matches_fs():
         )
     )
     np.testing.assert_array_equal(got, ref)
+
+
+def test_hb_blimb_matches_fs():
+    """Hybrid kernel with host-precomputed BSK limb-pair rows (blimb,
+    mxu_server_key_hb2) bit-equals the fs kernel — the fwd rows are
+    consumed unsplit but S decomposes to the same mod-p value."""
+    from helm_tpu.ops import mxu_pbs, ts_pbs
+
+    p = P.TEST_PARAMS_K3
+    ck = lwe.keygen(p, seed=51)
+    dsk = pbs_jnp.DeviceServerKey.from_host(server_key.gen_server_key(ck))
+    rng = np.random.default_rng(29)
+    bits = rng.integers(0, 2, 11).astype(bool)
+    ct = lwe.encrypt(ck, lwe.encode_bool(bits))
+    testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
+    ref = np.asarray(
+        mxu_pbs.blind_rotate_fs_mb(
+            p, mxu_pbs.mxu_server_key_fs(dsk), jnp.asarray(ct), testv,
+            g_tile=8, interpret=True,
+        )
+    )
+    bsk2 = ts_pbs.mxu_server_key_hb2(dsk)
+    for ab in ("blimb", "blimb,implrow"):
+        got = np.asarray(
+            mxu_pbs.blind_rotate_fs_mb(
+                p, bsk2, jnp.asarray(ct), testv,
+                g_tile=8, interpret=True, tsptw=True, ablate=ab,
+            )
+        )
+        np.testing.assert_array_equal(got, ref)

@@ -60,6 +60,16 @@ elif layout == "hb":
 
     bsk_args = (ts_pbs.mxu_server_key_ts(dsk),)
     rot_fn = functools.partial(mxu_pbs.blind_rotate_fs_mb, tsptw=True)
+elif layout == "hb2":  # hybrid + BSK limb-pair rows (blimb forced)
+    from helm_tpu.ops import ts_pbs
+
+    bsk_args = (ts_pbs.mxu_server_key_hb2(dsk),)
+
+    def rot_fn(p_, *a, ablate="", **kw):
+        ab = ",".join(x for x in ["blimb", ablate] if x)
+        return mxu_pbs.blind_rotate_fs_mb(
+            p_, *a, tsptw=True, ablate=ab, **kw
+        )
 else:
     bsk_args = mxu_pbs.mxu_server_key(dsk)
     rot_fn = mxu_pbs.blind_rotate_mxu_mb
