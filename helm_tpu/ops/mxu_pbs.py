@@ -1064,18 +1064,18 @@ def _make_kernel_fs_mb(
                         preferred_element_type=jnp.float32,
                     )
 
-                # fwd rows to ts orientation: one transpose per (pi, t)
-                fwdT_t = [jnp.transpose(fwd_full[t]) for t in range(N1)]
+                # fwd rows to ts orientation: ONE transpose per (pi, tp)
+                # of the sublane-stacked tile pair — the transposed lane
+                # halves ARE the ts packed layout, no lane concat needed
                 fwd_ts = [[None] * TPh for _ in range(rows_tot)]
-                for r in range(rows_tot):
-                    for tp in range(TPh):
-                        fwd_ts[r][tp] = jnp.concatenate(
-                            [
-                                fwdT_t[tp][r * G : (r + 1) * G, :],
-                                fwdT_t[tp + TPh][r * G : (r + 1) * G, :],
-                            ],
-                            axis=1,
-                        )  # [G, Lh]
+                for tp in range(TPh):
+                    pair = jnp.transpose(
+                        jnp.concatenate(
+                            [fwd_full[tp], fwd_full[tp + TPh]], axis=0
+                        )
+                    )  # [rows*G, Lh]
+                    for r in range(rows_tot):
+                        fwd_ts[r][tp] = pair[r * G : (r + 1) * G, :]
                 # monomials + subset polys in ts orientation (tlo_ref /
                 # thi_ref hold the TS tables when tsptw)
                 Mall = []  # [i] -> [G, N1*N2] balanced f32
@@ -1218,17 +1218,17 @@ def _make_kernel_fs_mb(
                         conv_ts[c2][tp] = _redfbt(
                             d0 + _redfb(256.0 * u, p, ip), p, ip
                         )
-                # back to fs orientation: one transpose per (pi, t), with
-                # the kp1 components pre-stacked along sublanes so the
-                # transposed result IS the inverse matmul's operand
-                for t in range(N1):
-                    tp, half = t % TPh, t // TPh
-                    sl = slice(half * N2, (half + 1) * N2)
-                    st = jnp.concatenate(
-                        [conv_ts[c][tp][:, sl] for c in range(kp1)],
-                        axis=0,
-                    )  # [kp1*G, N2]
-                    stacked_pre[t] = jnp.transpose(st)  # [N2, kp1*G]
+                # back to fs orientation: ONE transpose per (pi, tp) of
+                # the kp1-stacked pair; its sublane halves are the two
+                # tiles' inverse-matmul operands
+                for tp in range(TPh):
+                    st = jnp.transpose(
+                        jnp.concatenate(
+                            [conv_ts[c][tp] for c in range(kp1)], axis=0
+                        )
+                    )  # [Lh, kp1*G]
+                    stacked_pre[tp] = st[:N2, :]
+                    stacked_pre[tp + TPh] = st[N2:, :]
             if "noptw" not in ablate and not tsptw:
                 # monomial NTTs for ALL tiles at once: the flat [N1*N2, .]
                 # tables turn 8 skinny one-hot matmuls into one per limb
