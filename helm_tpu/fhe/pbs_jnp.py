@@ -76,11 +76,13 @@ class DeviceServerKey:
         if self.params.grouping > 1:
             from ..ops import ts_pbs
 
-            keys = (
-                (ts_pbs.mxu_server_key_ts(self),)
-                if ts_pbs.mb_kernel() in ("ts", "hb")
-                else (mxu_pbs.mxu_server_key_fs(self),)
-            )
+            kn = ts_pbs.mb_kernel()
+            if kn == "hb2":
+                keys = (ts_pbs.mxu_server_key_hb2(self),)
+            elif kn in ("ts", "hb"):
+                keys = (ts_pbs.mxu_server_key_ts(self),)
+            else:
+                keys = (mxu_pbs.mxu_server_key_fs(self),)
         else:
             keys = mxu_pbs.mxu_server_key(self)
         return DeviceServerKey(

@@ -2239,12 +2239,22 @@ def bootstrap_mxu(
                 dsk.params, bsk, lwe_in, testv,
                 g_tile=g_tile, interpret=interpret,
             )
-        elif kn == "hb":
-            bsk = keys[0] if keys is not None else mxu_server_key_ts(dsk)
+        elif kn in ("hb", "hb2"):
+            if keys is not None:
+                bsk = keys[0]
+            elif kn == "hb2":
+                from .ts_pbs import mxu_server_key_hb2
+
+                bsk = mxu_server_key_hb2(dsk)
+            else:
+                bsk = mxu_server_key_ts(dsk)
+            ab = os.environ.get("HELM_TPU_HB_ABLATE", "")
+            if kn == "hb2":
+                ab = ",".join(x for x in ["blimb", ab] if x)
             acc = blind_rotate_fs_mb(
                 dsk.params, bsk, lwe_in, testv,
                 g_tile=g_tile, interpret=interpret, tsptw=True,
-                ablate=os.environ.get("HELM_TPU_HB_ABLATE", ""),
+                ablate=ab,
             )
         else:
             bsk = keys[0] if keys is not None else mxu_server_key_fs(dsk)

@@ -64,9 +64,12 @@ from .mxu_pbs import (
 TP = N1 // 2  # lane-packed tile pairs (tp, tp+4)
 
 
-#: default multi-bit kernel: "fs" | "ts" | "hb" (hybrid: fs transforms +
-#: ts-oriented pointwise, blind_rotate_fs_mb(tsptw=True)). Flip after an
-#: on-chip A/B, never on a projection.
+#: default multi-bit kernel: "fs" | "ts" | "hb" | "hb2".
+#: hb  = hybrid: fs transforms + ts-oriented pointwise
+#:       (blind_rotate_fs_mb(tsptw=True), BSK = mxu_server_key_ts)
+#: hb2 = hb with host-precomputed BSK limb-pair rows (blimb,
+#:       BSK = mxu_server_key_hb2)
+#: Flip after an on-chip A/B, never on a projection.
 DEFAULT_MB_KERNEL = "fs"
 
 
@@ -78,11 +81,11 @@ def mb_kernel() -> str:
     3068.0 on 2026-08-20) — its block-diagonal [L, L] transform matmuls
     do 2x the MACs of fs's dense [N2, N2] ones (measured: fwd matmul
     68.7 ms vs fs's whole 47 ms transform complement). Kept as a tested
-    alternate backend and recorded negative result. The hybrid (hb)
+    alternate backend and recorded negative result. The hybrid (hb/hb2)
     keeps fs transforms and runs only the pointwise stage in the ts
     layout."""
     env = os.environ.get("HELM_TPU_MB_KERNEL")
-    if env in ("fs", "ts", "hb"):
+    if env in ("fs", "ts", "hb", "hb2"):
         return env
     if os.environ.get("HELM_TPU_TS_KERNEL", "0") == "1":  # legacy knob
         return "ts"
