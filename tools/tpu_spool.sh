@@ -15,10 +15,14 @@ mkdir -p "$SPOOL/done" "$SPOOL/failed"
 log() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
 
 log "=== tpu_spool start (pid $$) ==="
-# wait for any legacy queue scripts / sweeps to release the chip
-while pgrep -f "tpu_queue_r3[abc].sh" > /dev/null 2>&1 \
-   || pgrep -f "tools/mb_sweep.py" > /dev/null 2>&1; do sleep 30; done
-log "chip free"
+# single-instance lock (pgrep-by-pattern is a footgun: launcher shells
+# keep the pattern text in their argv and match forever)
+LOCK="$SPOOL/.runner.pid"
+if [ -f "$LOCK" ] && kill -0 "$(cat "$LOCK")" 2>/dev/null; then
+  log "another runner (pid $(cat "$LOCK")) is live; exiting"
+  exit 1
+fi
+echo $$ > "$LOCK"
 
 idle=0
 while :; do
