@@ -76,14 +76,21 @@ DEFAULT_MB_KERNEL = "fs"
 def mb_kernel() -> str:
     """Multi-bit kernel choice: HELM_TPU_MB_KERNEL env beats the default.
 
-    History: ts MEASURED SLOWER than fs on-chip (2026-08-19, GATES_128_K3
-    full-PBS bench: ts 3054.8 vs fs 3237.3 bs/s; re-measured 2845.6 vs
-    3068.0 on 2026-08-20) — its block-diagonal [L, L] transform matmuls
-    do 2x the MACs of fs's dense [N2, N2] ones (measured: fwd matmul
-    68.7 ms vs fs's whole 47 ms transform complement). Kept as a tested
-    alternate backend and recorded negative result. The hybrid (hb/hb2)
-    keeps fs transforms and runs only the pointwise stage in the ts
-    layout."""
+    History (all on-chip at GATES_128_K3, gt=512, blind-rotation rot/s;
+    PERFORMANCE.md round 3 has the full stage map):
+      fs 3068.0 — production default.
+      ts 2845.6 — block-diagonal [L, L] transform matmuls do 2x the
+        MACs of fs's dense [N2, N2] ones (fwd matmul alone 68.7 ms per
+        1024 vs fs's whole 59 ms transform complement).
+      hb 2640.1 (implrow 2748.6) — fs transforms + ts pointwise via
+        in-kernel transposes; Mosaic's f32 [128, 4096] transposes run
+        ~64 GB/s effective, costing more (~110 ms) than the splat
+        savings (~65 ms); ceiling with FREE loads measured 3350.
+      hb2 2680.9 (implrow 2819.6) — hb + host-precomputed BSK limb-pair
+        rows (no runtime _split256 in pointwise): +1.5..2.6% over hb,
+        still under fs.
+    All four are bit-identical (tests/test_pallas.py) and kept as
+    tested alternates / recorded negative results."""
     env = os.environ.get("HELM_TPU_MB_KERNEL")
     if env in ("fs", "ts", "hb", "hb2"):
         return env
