@@ -7,6 +7,10 @@ family surface (reference RUNNING.md:3-259).
 
 Env:
   NETLIST  path (default benchmarks/netlists/c880-like.v)
+  NETLISTS space-separated `path[:batch[:cycles]]` entries — runs them
+           all in ONE process (keygen/key-transfer/jit caches shared;
+           cuts the per-family process overhead ~5x for the RUNNING.md
+           sweep). Overrides NETLIST/BATCH/CYCLES.
   MODE     gates|lut (default gates)
   PSET     params name (default GATES_128_K3 / LUT_128_MB2 by mode)
   BACKEND  jnp|mxu (default mxu)
@@ -34,9 +38,6 @@ from helm_tpu.circuit.verilog import read_verilog_file
 from helm_tpu.engines.boolean import BooleanEngine
 
 mode = os.environ.get("MODE", "gates")
-path = os.environ.get(
-    "NETLIST", "benchmarks/netlists/c880-like.v"
-)
 pset = getattr(
     P,
     os.environ.get("PSET", "GATES_128_K3" if mode == "gates" else "LUT_128_MB2"),
@@ -44,10 +45,27 @@ pset = getattr(
 backend = os.environ.get("BACKEND", "mxu")
 gt_env = os.environ.get("GT", "")
 fuse_env = os.environ.get("FUSE", "")
-B = int(os.environ.get("BATCH", "0"))
-cycles = int(os.environ.get("CYCLES", "1"))
 
-nl = read_verilog_file(path)
+if os.environ.get("NETLISTS", ""):
+    jobs = []
+    for ent in os.environ["NETLISTS"].split():
+        parts = ent.split(":")
+        jobs.append(
+            (
+                parts[0],
+                int(parts[1]) if len(parts) > 1 else 0,
+                int(parts[2]) if len(parts) > 2 else 1,
+            )
+        )
+else:
+    jobs = [
+        (
+            os.environ.get("NETLIST", "benchmarks/netlists/c880-like.v"),
+            int(os.environ.get("BATCH", "0")),
+            int(os.environ.get("CYCLES", "1")),
+        )
+    ]
+
 t0 = time.time()
 e = BooleanEngine(
     mode=mode,
@@ -58,81 +76,82 @@ e = BooleanEngine(
     fuse_levels=bool(int(fuse_env)) if fuse_env else None,
 )
 print(f"KeyGen {time.time()-t0:.1f}s", flush=True)
-e.compile(nl)
 
 rng = np.random.default_rng(int(os.environ.get("SEED", "7")))
 
+for path, B, cycles in jobs:
+    nl = read_verilog_file(path)
+    e.compile(nl)
 
-def vec():
-    return {w: bool(rng.integers(0, 2)) for w in sorted(nl.inputs)}
+    def vec():
+        return {w: bool(rng.integers(0, 2)) for w in sorted(nl.inputs)}
 
+    inputs = [vec() for _ in range(B)] if B else vec()
 
-inputs = [vec() for _ in range(B)] if B else vec()
-
-# first pass: compile + warmup (all cycles share the level executables)
-wires = e.encrypt_inputs(inputs)
-t0 = time.time()
-for _ in range(cycles):
-    wires = e.evaluate(wires)
-_ = np.asarray(wires)
-first = time.time() - t0
-print(f"first eval (incl. compile): {first:.1f}s", flush=True)
-
-# steady-state: fresh ciphertexts, per-cycle wall-clock
-wires = e.encrypt_inputs(inputs)
-cyc_t = []
-t_all = time.time()
-for _c in range(cycles):
+    # first pass: compile + warmup (all cycles share the level executables)
+    wires = e.encrypt_inputs(inputs)
     t0 = time.time()
-    wires = e.evaluate(wires)
+    for _ in range(cycles):
+        wires = e.evaluate(wires)
     _ = np.asarray(wires)
-    cyc_t.append(time.time() - t0)
-dt = time.time() - t_all
+    first = time.time() - t0
+    print(f"first eval (incl. compile): {first:.1f}s", flush=True)
 
-# oracle check over all cycles (stateful for sequential circuits)
-c = Circuit.from_netlist(read_verilog_file(path))
-got = e.decrypt_all_wires(wires)
-ok = True
-if B:
-    states = [c.initialize_wire_map(nl.wire_set, iv) for iv in inputs]
+    # steady-state: fresh ciphertexts, per-cycle wall-clock
+    wires = e.encrypt_inputs(inputs)
+    cyc_t = []
+    t_all = time.time()
     for _c in range(cycles):
-        states = [c.evaluate(s) for s in states]
-    for bi, st in enumerate(states):
-        for w, v in st.items():
-            if got[bi][w] != v:
+        t0 = time.time()
+        wires = e.evaluate(wires)
+        _ = np.asarray(wires)
+        cyc_t.append(time.time() - t0)
+    dt = time.time() - t_all
+
+    # oracle check over all cycles (stateful for sequential circuits)
+    c = Circuit.from_netlist(read_verilog_file(path))
+    got = e.decrypt_all_wires(wires)
+    ok = True
+    if B:
+        states = [c.initialize_wire_map(nl.wire_set, iv) for iv in inputs]
+        for _c in range(cycles):
+            states = [c.evaluate(s) for s in states]
+        for bi, st in enumerate(states):
+            for w, v in st.items():
+                if got[bi][w] != v:
+                    ok = False
+    else:
+        state = c.initialize_wire_map(nl.wire_set, inputs)
+        for _c in range(cycles):
+            state = c.evaluate(state)
+        for w, v in state.items():
+            if got[w] != v:
                 ok = False
-else:
-    state = c.initialize_wire_map(nl.wire_set, inputs)
-    for _c in range(cycles):
-        state = c.evaluate(state)
-    for w, v in state.items():
-        if got[w] != v:
-            ok = False
 
-name = pathlib.Path(path).stem
-print(
-    f"{name} steady-state: {dt:.3f}s"
-    + (f" ({dt/B:.3f}s/vector, batch {B})" if B else "")
-    + (f" cycles={cycles} per-cycle={[round(t,3) for t in cyc_t]}" if cycles > 1 else "")
-    + f" [{pset.name}, {mode}, backend={backend}] correct={ok}",
-    flush=True,
-)
-print(
-    "RESULT "
-    + json.dumps(
-        {
-            "family": name,
-            "mode": mode,
-            "params": pset.name,
-            "backend": backend,
-            "batch": B,
-            "cycles": cycles,
-            "steady_s": round(dt, 3),
-            "per_vector_s": round(dt / (B or 1), 3),
-            "per_cycle_s": [round(t, 3) for t in cyc_t],
-            "first_s": round(first, 1),
-            "correct": ok,
-        }
-    ),
-    flush=True,
-)
+    name = pathlib.Path(path).stem
+    print(
+        f"{name} steady-state: {dt:.3f}s"
+        + (f" ({dt/B:.3f}s/vector, batch {B})" if B else "")
+        + (f" cycles={cycles} per-cycle={[round(t,3) for t in cyc_t]}" if cycles > 1 else "")
+        + f" [{pset.name}, {mode}, backend={backend}] correct={ok}",
+        flush=True,
+    )
+    print(
+        "RESULT "
+        + json.dumps(
+            {
+                "family": name,
+                "mode": mode,
+                "params": pset.name,
+                "backend": backend,
+                "batch": B,
+                "cycles": cycles,
+                "steady_s": round(dt, 3),
+                "per_vector_s": round(dt / (B or 1), 3),
+                "per_cycle_s": [round(t, 3) for t in cyc_t],
+                "first_s": round(first, 1),
+                "correct": ok,
+            }
+        ),
+        flush=True,
+    )

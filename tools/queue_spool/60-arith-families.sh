@@ -1,0 +1,2 @@
+# TMO=10800
+PARAMS=ARITH_128_MB2 BACKEND=mxu NETLISTS="benchmarks/netlists/mmult5_arith.v:u8 benchmarks/netlists/euclidean32_arith.v:u16 benchmarks/netlists/gaussian_blur_arith.v:u8 benchmarks/netlists/mmult10_arith.v:u8 benchmarks/netlists/euclidean64_arith.v:u16 benchmarks/netlists/mmult15_arith.v:u8" python -u tools/chi2_tpu_bench.py
