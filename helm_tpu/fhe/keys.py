@@ -70,7 +70,18 @@ def load_server_key(path: str) -> ServerKey:
             f"{got.tolist()} but this build uses {want.tolist()} for "
             f"N={params.N} — regenerate the key"
         )
-    return ServerKey(params, z["bsk_ntt"], z["bsk_ntt_sh"], z["ksk_limbs"])
+    ksk = z["ksk_limbs"]
+    want_rows = params.big_n * params.ks_level
+    if ksk.shape[1] != want_rows:
+        # e.g. the 2026-08-20 keyswitch geometry change (B=4/l=8 ->
+        # B=2/l=14..17 on the 128-bit family): fail loudly here instead of
+        # with a shape error deep inside a jitted keyswitch
+        raise ValueError(
+            f"{path}: KSK has {ksk.shape[1]} decomposition rows but "
+            f"params '{params.name}' expect big_n*ks_level = {want_rows} "
+            f"(keyswitch geometry changed) — regenerate the key"
+        )
+    return ServerKey(params, z["bsk_ntt"], z["bsk_ntt_sh"], ksk)
 
 
 def load_or_generate(dir_path: str, params, seed=None):

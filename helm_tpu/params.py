@@ -119,13 +119,30 @@ class TfheParams:
         the decomposition-rounding tail (q/B^l rounding error times the
         secret), for binary secrets.
 
+        Single-bit (g = 1): the implementation decomposes (X^a - 1)*acc
+        (pbs_jnp.blind_rotate computes rot - acc BEFORE decompose_glwe),
+        so digit magnitudes are gadget-bounded regardless of the rotation
+        and NO polynomial-norm factor applies: per-step scale 1. Pinned
+        empirically (tests/test_params_keys.py ratio ~1.03 at GATES_PARAMS,
+        which is >99% pbs-variance).
+
         Multi-bit (grouping g > 1): n/g steps; each step's effective GGSW is
         sum_v P_v (.) BSK_v over the 2^g-1 nonempty subsets, P_v =
-        prod_{i in v}(X^{a_i}-1) with squared 2-norm 2^|v|, so the per-step
-        gadget variance is scaled by sum_j C(g,j) 2^j = 3^g - 1 (normalized
-        to the g=1 form, whose single (X^a-1) carries the factor 2 already):
-        total multiplier (3^g - 1) / (2g) vs single-bit. The rounding tail
-        is one acc decomposition per step, so it shrinks by g.
+        prod_{i in v}(X^{a_i}-1) with squared 2-norm 2^|v|. Unlike the
+        single-bit path, the kernels decompose the BARE accumulator and
+        apply P_v AFTER the gadget product (the NTT-domain pva multiply in
+        ops/mxu_pbs.py / pbs_jnp.blind_rotate_multibit), so each subset's
+        noise term carries its full ||P_v||_2^2: per-step scale
+        sum_j C(g,j) 2^j = 3^g - 1, total multiplier (3^g - 1)/g vs
+        single-bit. (An earlier revision normalized this by the g=1 norm
+        factor 2 that the g=1 form does not actually pay; the 2^20-sample
+        on-chip measurement at GATES_128_K3 — SECURITY.md noise validation,
+        2026-08-20 — pinned the corrected scale.) The rounding tail is one
+        acc decomposition per step, so it shrinks by g.
+
+        Digit second moment: signed_decompose yields digits uniform on
+        {-B/2..B/2-1}, E[d^2] = (B^2+2)/12 exactly (measured 1.500 at B=4),
+        not the continuous-uniform B^2/12.
 
         The kernels use the additive-identity CMux form (the empty-subset
         GGSW of 1 is never keyed or multiplied — server_key.py), so the
@@ -133,11 +150,13 @@ class TfheParams:
         exactly.
         """
         g = self.grouping
-        mb_scale = (3.0**g - 1.0) / (2.0 * g)
-        # sum of B_r^2 over all gadget rows (mask rows may use a wider,
-        # shallower approximate gadget — component_gadgets)
+        mb_scale = 1.0 if g == 1 else (3.0**g - 1.0) / g
+        # sum of E[d^2]*B_r^2-style digit moments over all gadget rows
+        # (mask rows may use a wider, shallower approximate gadget —
+        # component_gadgets); exact discrete moment (B^2+2)/12 per level
         sum_b2 = sum(
-            lv * float(1 << bl) ** 2 for bl, lv in self.component_gadgets
+            lv * (float(1 << bl) ** 2 + 2.0)
+            for bl, lv in self.component_gadgets
         )
         main = (
             self.n
@@ -159,8 +178,17 @@ class TfheParams:
         return main + tail
 
     def var_ks(self) -> float:
-        """Variance added by the big_n -> n keyswitch."""
-        main = self.big_n * self.ks_level * (self.lwe_noise_std**2)
+        """Variance added by the big_n -> n keyswitch.
+
+        Each of the big_n * l decomposition digits multiplies a fresh KSK
+        noise sample: var = big_n * l * E[d^2] * sigma^2 with the exact
+        discrete digit moment E[d^2] = (B^2+2)/12 (signed_decompose digits
+        are uniform on {-B/2..B/2-1}; measured 1.500 at B=4 — an earlier
+        revision omitted this factor and understated the KS variance 1.5x,
+        caught by the 2^20-sample on-chip validation at GATES_128_K3).
+        """
+        dig2 = (float(self.ks_base) ** 2 + 2.0) / 12.0
+        main = self.big_n * self.ks_level * dig2 * (self.lwe_noise_std**2)
         eps = float(Q) / (float(self.ks_base) ** self.ks_level)
         tail = self.big_n * (eps**2) / 24.0
         return main + tail
@@ -545,7 +573,9 @@ LUT_TPU_MB2 = TfheParams(
 #: (n=742, sigma/q = 7.07e-6 -> ~104-bit core-SVP = the same margin the
 #: lattice-estimator default scores ~128) and oversizes the GLWE ring
 #: (N=2048, sigma=4: ~197-bit core-SVP). Cost vs GATES_TPU_MB2: 1.45x
-#: steps and ~2x transform width. Failure 2^-74 at XOR growth.
+#: steps and ~2x transform width. Failure 2^-43.8 at XOR growth 8 under
+#: the measurement-corrected noise model (B=2/l=16 keyswitch; see
+#: SECURITY.md noise validation 2026-08-20).
 GATES_128_MB2 = TfheParams(
     name="gates_128_mb2",
     n=742,
@@ -553,8 +583,8 @@ GATES_128_MB2 = TfheParams(
     N=2048,
     pbs_base_log=11,
     pbs_level=2,
-    ks_base_log=2,
-    ks_level=8,
+    ks_base_log=1,
+    ks_level=16,
     lwe_noise_std=30355.0,
     glwe_noise_std=4.0,
     msg_space_log=3,
@@ -570,8 +600,10 @@ GATES_128_MB2 = TfheParams(
 #: per-step cost model scores it 1.84x cheaper than GATES_128_MB2.
 #: Security: LWE n=704/sigma=2^16 -> 104.8-bit core-SVP (the same margin
 #: the maintained lattice-estimator default scores ~128 for tfhe-rs's
-#: n=742 key); GLWE kN=1536/sigma=4 -> 135.5-bit. Failure 2^-37.2 at XOR
-#: growth 8 (modswitch-dominated: N=512 rounds the mask to 2N=1024).
+#: n=742 key); GLWE kN=1536/sigma=4 -> 135.5-bit. Failure 2^-37.3 at XOR
+#: growth 8 under the measurement-corrected model (modswitch-dominated:
+#: N=512 rounds the mask to 2N=1024; B=2/l=14 keyswitch keeps the KS term
+#: small — see SECURITY.md noise validation 2026-08-20).
 GATES_128_K3 = TfheParams(
     name="gates_128_k3",
     n=704,
@@ -579,8 +611,8 @@ GATES_128_K3 = TfheParams(
     N=512,
     pbs_base_log=9,
     pbs_level=2,
-    ks_base_log=2,
-    ks_level=8,
+    ks_base_log=1,
+    ks_level=14,
     lwe_noise_std=65536.0,
     glwe_noise_std=4.0,
     msg_space_log=3,
@@ -588,8 +620,9 @@ GATES_128_K3 = TfheParams(
     grouping=2,
 )
 
-#: 128-bit-class LUT set (3-bit messages). Failure 2^-39 at packing
-#: growth 17.
+#: 128-bit-class LUT set (3-bit messages). Failure 2^-31.2 at the 3-input
+#: pack growth 21 under the measurement-corrected model (B=2/l=16
+#: keyswitch).
 LUT_128_MB2 = TfheParams(
     name="lut_128_mb2",
     n=742,
@@ -597,8 +630,8 @@ LUT_128_MB2 = TfheParams(
     N=2048,
     pbs_base_log=8,
     pbs_level=3,
-    ks_base_log=2,
-    ks_level=8,
+    ks_base_log=1,
+    ks_level=16,
     lwe_noise_std=30355.0,
     glwe_noise_std=4.0,
     msg_space_log=4,
@@ -608,8 +641,9 @@ LUT_128_MB2 = TfheParams(
 
 #: 128-bit-class arith set. msg_space 5 leaves only a 2^26 margin at
 #: q=2^32, so the LWE key moves to n=832/sigma=2^13 (106-bit core-SVP)
-#: to keep the keyswitch quiet, with KS (3,6). Failure 2^-35 at growth 17;
-#: the modswitch term dominates (the q=2^32 squeeze — see SECURITY.md).
+#: to keep the keyswitch quiet, with KS B=2/l=17. Failure 2^-30.5 at
+#: growth 18 under the measurement-corrected model; the modswitch term
+#: dominates (the q=2^32 squeeze — see SECURITY.md).
 ARITH_128_MB2 = TfheParams(
     name="arith_128_mb2",
     n=832,
@@ -617,8 +651,8 @@ ARITH_128_MB2 = TfheParams(
     N=2048,
     pbs_base_log=7,
     pbs_level=3,
-    ks_base_log=3,
-    ks_level=6,
+    ks_base_log=1,
+    ks_level=17,
     lwe_noise_std=8192.0,
     glwe_noise_std=4.0,
     msg_space_log=5,

@@ -14,17 +14,23 @@ def test_production_failure_rates():
     assert P.LUT_PARAMS.pbs_failure_log2(linear_growth=21.0) < -30
     # arith linear combos up to 5 clean blocks
     assert P.ARITH_PARAMS.pbs_failure_log2(linear_growth=25.0) < -25
-    # multi-bit sets under the grouping-aware model ((3^g-1)/2g per-step
-    # variance multiplier)
+    # multi-bit sets under the grouping-aware model ((3^g-1)/g per-step
+    # variance multiplier — the post-product P_v form pays the full subset
+    # norm; pinned by the 2^20-sample on-chip validation at GATES_128_K3,
+    # SECURITY.md 2026-08-20). The corrected model moved the
+    # reference-GPU-mirroring sets' worst-case pins (they mirror tfhe-rs
+    # PARAM_MULTI_BIT_* geometries, so the sets themselves stay fixed):
+    # GATES_TPU_MB4 -30.6 -> -28.0.
     assert P.GATES_TPU_MB2.pbs_failure_log2(linear_growth=8.0) < -30
-    assert P.GATES_TPU_MB4.pbs_failure_log2(linear_growth=8.0) < -30
+    assert P.GATES_TPU_MB4.pbs_failure_log2(linear_growth=8.0) < -27
     # multi-bit arith/LUT sets (fs-kernel path): worst pack is the
     # bivariate 4*sel + (mux output = sum of two fresh bootstraps) in the
     # encrypted-shift ladder -> linear growth 18 (4^2 + 2); same client
     # keys/sigmas as the single-bit sets, so security gaps are unchanged
     assert P.ARITH_TPU_MB2.pbs_failure_log2(linear_growth=18.0) < -40
-    # the LUT set additionally sees the 3-input pack (growth 21)
-    assert P.LUT_TPU_MB2.pbs_failure_log2(linear_growth=21.0) < -40
+    # the LUT set additionally sees the 3-input pack (growth 21);
+    # corrected-model pin -42.1 -> -34.8 (see SECURITY.md noise validation)
+    assert P.LUT_TPU_MB2.pbs_failure_log2(linear_growth=21.0) < -34
     assert P.ARITH_PARAMS.pbs_failure_log2(linear_growth=18.0) < -40
     for mb, sb in ((P.ARITH_TPU_MB2, P.ARITH_PARAMS), (P.LUT_TPU_MB2, P.LUT_PARAMS)):
         assert (mb.n, mb.N, mb.lwe_noise_std, mb.glwe_noise_std) == (
@@ -44,9 +50,12 @@ def test_security_gaps_documented():
 
 def test_128bit_family_noise_budget():
     # the hardened sets must keep per-PBS failure low at their worst-case
-    # linear growth (XOR = 8, 3-input LUT pack = 21, arith mux-bivariate = 18)
-    assert P.GATES_128_MB2.pbs_failure_log2(linear_growth=8.0) < -60
-    assert P.GATES_128_K3.pbs_failure_log2(linear_growth=8.0) < -30
+    # linear growth (XOR = 8, 3-input LUT pack = 21, arith mux-bivariate =
+    # 18), under the measurement-corrected noise model (SECURITY.md noise
+    # validation 2026-08-20) with the B=2 keyswitch geometries:
+    # MB2 -43.8 / K3 -37.3 / LUT -31.2 / ARITH -30.5
+    assert P.GATES_128_MB2.pbs_failure_log2(linear_growth=8.0) < -40
+    assert P.GATES_128_K3.pbs_failure_log2(linear_growth=8.0) < -36
     assert P.LUT_128_MB2.pbs_failure_log2(linear_growth=21.0) < -30
     assert P.ARITH_128_MB2.pbs_failure_log2(linear_growth=18.0) < -30
 
