@@ -91,7 +91,7 @@ def main():
                                 name=f"cand_n{n_dim}_k{k}_N{N}_b{bl}_l{lv}_g{g}",
                                 n=n_dim, k=k, N=N,
                                 pbs_base_log=bl, pbs_level=lv,
-                                ks_base_log=2, ks_level=8,
+                                ks_base_log=1, ks_level=14,
                                 lwe_noise_std=sl, glwe_noise_std=sg,
                                 msg_space_log=3, message_bits=1, grouping=g,
                             )
