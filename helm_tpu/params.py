@@ -660,6 +660,30 @@ ARITH_128_MB2 = TfheParams(
     grouping=2,
 )
 
+#: 128-bit-class LUT set, k=2/N=1024 GLWE — the gates_128_k3 trick applied
+#: to LUT mode (tools/param_search.py msg_space-4 variant under the
+#: measurement-corrected noise model + measured round-3 kernel cost split):
+#: same 2048-dim GLWE security as k=1/N=2048 at half the per-row transform
+#: area, and it dodges the measured ~1.35x N=2048 VMEM penalty — modeled
+#: 0.75x the cost of LUT_128_MB2. Security: LWE n=770/sigma=19639 ->
+#: 104.2-bit core-SVP; GLWE kN=2048/sigma=4 -> 197-bit. Failure 2^-32.6 at
+#: the 3-input pack growth 21 (better margin than LUT_128_MB2's 2^-31.2).
+LUT_128_K2 = TfheParams(
+    name="lut_128_k2",
+    n=770,
+    k=2,
+    N=1024,
+    pbs_base_log=7,
+    pbs_level=3,
+    ks_base_log=1,
+    ks_level=16,
+    lwe_noise_std=19639.0,
+    glwe_noise_std=4.0,
+    msg_space_log=4,
+    message_bits=3,
+    grouping=2,
+)
+
 TEST_PARAMS_MB = TfheParams(
     name="test_tiny_mb2",
     n=16,
@@ -732,6 +756,7 @@ ALL_PARAMS = {
         GATES_128_MB2,
         GATES_128_K3,
         LUT_128_MB2,
+        LUT_128_K2,
         ARITH_128_MB2,
         TEST_PARAMS_MB,
         TEST_PARAMS_K3,
