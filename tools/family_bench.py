@@ -12,7 +12,7 @@ Env:
            cuts the per-family process overhead ~5x for the RUNNING.md
            sweep). Overrides NETLIST/BATCH/CYCLES.
   MODE     gates|lut (default gates)
-  PSET     params name (default GATES_128_K3 / LUT_128_MB2 by mode)
+  PSET     params name (default GATES_128_K3 / LUT_128_K2 by mode)
   BACKEND  jnp|mxu (default mxu)
   GT       g_tile override
   FUSE     1/0 level fusion (unset = auto)
@@ -40,7 +40,7 @@ from helm_tpu.engines.boolean import BooleanEngine
 mode = os.environ.get("MODE", "gates")
 pset = getattr(
     P,
-    os.environ.get("PSET", "GATES_128_K3" if mode == "gates" else "LUT_128_MB2"),
+    os.environ.get("PSET", "GATES_128_K3" if mode == "gates" else "LUT_128_K2"),
 )
 backend = os.environ.get("BACKEND", "mxu")
 gt_env = os.environ.get("GT", "")
