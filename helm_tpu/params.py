@@ -428,6 +428,25 @@ TEST_NOISY_LUT = TfheParams(
     grouping=2,
 )
 
+#: Noisy k=2 LUT set: the LUT_128_K2 geometry (k=2/N=1024 GLWE, B=2
+#: keyswitch) scaled down for CPU-speed CI, real noise. Exercises the
+#: k=2 multibit kernel + long-B=2-ladder keyswitch paths end to end.
+TEST_NOISY_LUT_K2 = TfheParams(
+    name="test_noisy_lut_k2",
+    n=32,
+    k=2,
+    N=128,
+    pbs_base_log=8,
+    pbs_level=2,
+    ks_base_log=1,
+    ks_level=14,
+    lwe_noise_std=4.0,
+    glwe_noise_std=2.0,
+    msg_space_log=4,
+    message_bits=3,
+    grouping=2,
+)
+
 #: Noisy arith-mode set (2-bit blocks + carry, grouping 2). Failure 2^-35
 #: at the mux-bivariate growth 18.
 TEST_NOISY_ARITH = TfheParams(
@@ -746,6 +765,7 @@ ALL_PARAMS = {
         TEST_PARAMS_NOISY,
         TEST_NOISY_GATES_MB,
         TEST_NOISY_LUT,
+        TEST_NOISY_LUT_K2,
         TEST_NOISY_ARITH,
         GATES_TPU,
         GATES_MB2,

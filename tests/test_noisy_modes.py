@@ -60,6 +60,23 @@ def test_noisy_lut_mode_end_to_end():
     assert all(int(out[w]) & 1 == int(st[w]) for w in out)
 
 
+def test_noisy_lut_k2_geometry_end_to_end():
+    """The LUT_128_K2 deployment geometry (k=2 GLWE + B=2 keyswitch
+    ladder), scaled down, with real noise — pins the k=2 multibit kernel
+    and the long B=2 keyswitch path the 128-bit family now ships
+    (SECURITY.md noise validation 2026-08-20)."""
+    nl = read_verilog_file("benchmarks/netlists/8-bit-adder-lut-3-1.v")
+    eng = BooleanEngine(mode="lut", params=P.TEST_NOISY_LUT_K2, seed=5)
+    eng.compile(nl)
+    ins = csv_io.read_input_wires(
+        "benchmarks/test-cases/8-bit-adder.inputs.csv", "bool"
+    )
+    out = eng.decrypt_outputs(eng.evaluate(eng.encrypt_inputs(ins)))
+    c = Circuit.from_netlist(nl)
+    st = c.evaluate(c.initialize_wire_map(nl.wire_set, ins))
+    assert all(int(out[w]) & 1 == int(st[w]) for w in out)
+
+
 def test_noisy_arith_radix_ops():
     eng = ArithEngine("u8", params=P.TEST_NOISY_ARITH, seed=5)
     import jax.numpy as jnp
