@@ -1,7 +1,7 @@
 """AES-128 transciphering benchmark on the real chip.
 
 Gates-mode composite-field AES (benchmarks/netlists/aes128-gates.v,
-57.7k gates / 487 levels) with the FIPS-197 C.1 vector; BATCH>0 evaluates
+41.4k gates / 358 levels) with the FIPS-197 C.1 vector; BATCH>0 evaluates
 B blocks in one pass (ECB serving shape: block i = pt XOR i in byte 0).
 Env: PSET (default GATES_TPU_MB2), BACKEND (jnp|mxu), FUSE, GT, BATCH.
 """
