@@ -132,6 +132,14 @@ def build_argparser() -> argparse.ArgumentParser:
         help="force per-level launches",
     )
     ap.add_argument(
+        "--fuse-cycles",
+        action="store_true",
+        help="evaluate all -c cycles in ONE jitted dispatch (sequential "
+        "circuits without the READY protocol; prints amortized per-cycle "
+        "time — removes the per-level dispatch overhead that dominates "
+        "small sequential circuits)",
+    )
+    ap.add_argument(
         "--multihost",
         metavar="COORD:PORT,NPROCS,PID",
         help="initialize jax.distributed for multi-host runs (combine with "
@@ -248,14 +256,28 @@ def _run_boolean(args, netlist) -> int:
 
         profile_ctx = jax.profiler.trace(args.profile)
         profile_ctx.__enter__()
-    for cycle in range(args.cycles):
+    if args.fuse_cycles and args.cycles > 1 and not engine.has_ready():
+        # all cycles in one jitted dispatch (engine.evaluate_cycles) —
+        # the latency path for small sequential circuits; prints the
+        # amortized per-cycle time (per-cycle wall-clocks do not exist
+        # in a single dispatch)
         start = time.time()
-        wires = engine.evaluate(wires, verbose=args.verbose)
-        if args.cycles > 1 and engine.has_ready():
-            ready_flag = True
-            valid = engine.evaluate_ready(wires, valid)
+        wires = engine.evaluate_cycles(wires, args.cycles)
         wires.block_until_ready()
-        print(f"Cycle {cycle}) Evaluation done in {time.time() - start} seconds.\n")
+        dt = time.time() - start
+        print(
+            f"Cycles 0..{args.cycles - 1}) Evaluation done in {dt} seconds "
+            f"(one fused dispatch; {dt / args.cycles:.3f} s/cycle amortized).\n"
+        )
+    else:
+        for cycle in range(args.cycles):
+            start = time.time()
+            wires = engine.evaluate(wires, verbose=args.verbose)
+            if args.cycles > 1 and engine.has_ready():
+                ready_flag = True
+                valid = engine.evaluate_ready(wires, valid)
+            wires.block_until_ready()
+            print(f"Cycle {cycle}) Evaluation done in {time.time() - start} seconds.\n")
 
     if profile_ctx is not None:
         profile_ctx.__exit__(None, None, None)

@@ -160,6 +160,44 @@ def _scan_eval_step(backend, shard, g_tile, dsk, wires, levels, testv_base):
     return wires
 
 
+@cached_jit(static_argnums=(0, 1, 2, 7), donate_argnums=(4,), name="scan_cycles")
+def _scan_eval_cycles(backend, shard, g_tile, dsk, wires, chunks, testv_base, cycles):
+    """`cycles` full circuit evaluations in ONE jitted dispatch.
+
+    Sequential circuits advance state purely through the wire array (DFF
+    copies are plan levels), so scanning the fused level program over a
+    cycle axis is semantically identical to `cycles` evaluate() calls —
+    but pays one host dispatch instead of cycles x levels (the tunneled
+    platform's per-dispatch overhead dominates small sequential circuits:
+    s27 measured 277 ms/cycle under per-level dispatch).
+
+    chunks: tuple of stacked-level dicts (as built by _stack_levels).
+    """
+
+    def cycle(w, _):
+        for lvs in chunks:
+            def body(w_, lv):
+                tv = (
+                    testv_base[lv["testv_sel"]]
+                    if "testv_sel" in lv
+                    else testv_base
+                )
+                w_ = _level_body(
+                    backend, shard, g_tile, dsk, w_,
+                    lv["slot_in"], lv["slot_coef"], lv["slot_off"],
+                    lv["slot_dst"], tv, lv["mux_pairs"], lv["mux_dst"],
+                    lv["lin_src"], lv["lin_coef"], lv["lin_off"],
+                    lv["lin_dst"],
+                )
+                return w_, None
+
+            w, _ = jax.lax.scan(body, w, lvs)
+        return w, None
+
+    wires, _ = jax.lax.scan(cycle, wires, None, length=cycles)
+    return wires
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _lin_level_step(wires, lin_src, lin_coef, lin_off, lin_dst):
     n1 = wires.shape[-1] - 1
@@ -526,6 +564,39 @@ class BooleanEngine:
                     f" ({ns} PBS slots in one launch){extra}"
                 )
         return wires
+
+    def evaluate_cycles(self, wires: jax.Array, cycles: int) -> jax.Array:
+        """Evaluate `cycles` sequential cycles in one jitted dispatch.
+
+        Bit-identical to calling evaluate() `cycles` times (DFF state
+        advances through the wire array; tests pin the equality) but
+        pays one host dispatch total — the per-cycle latency win for
+        small sequential circuits (s27, crc32) where per-level dispatch
+        overhead dominates. Falls back to the evaluate() loop when the
+        total unrolled program would exceed the chunked-scan crash bound
+        (levels x cycles > 128 — see _stack_levels MAXC) or when the
+        circuit uses the READY protocol (host-side latch step per cycle).
+        """
+        assert self.plan is not None
+        n_lv = len(self.plan.levels)
+        if self.has_ready() or n_lv * cycles > 128:
+            for _ in range(cycles):
+                wires = self.evaluate(wires)
+            return wires
+        # _stack_levels is pure (compile() stores its result separately);
+        # with n_lv <= 128 it returns exactly one chunk
+        chunks = self._scan_levels or self._stack_levels()
+        testv = self._testv_bank if self.mode == "lut" else self._testv_gates
+        return _scan_eval_cycles(
+            self.backend,
+            self._batch_shard,
+            self.g_tile,
+            self.dsk,
+            wires,
+            tuple(chunks),
+            testv,
+            cycles,
+        )
 
     # -- READY protocol ------------------------------------------------
     def has_ready(self) -> bool:

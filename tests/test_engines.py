@@ -547,6 +547,36 @@ def test_fused_scan_sequential_s27():
         assert got[w] == bool(wm[w]), w
 
 
+def test_evaluate_cycles_matches_per_cycle():
+    """evaluate_cycles (one dispatch for all cycles) is bit-identical to
+    N sequential evaluate() calls — latency path for small sequential
+    circuits where per-level dispatch overhead dominates."""
+    import jax.numpy as jnp
+
+    nl = read_verilog_file("benchmarks/netlists/s27.v")
+    inputs = {w: bool(i % 2) for i, w in enumerate(sorted(nl.inputs))}
+    for fuse in (None, True):
+        e = BooleanEngine(
+            mode="gates", params=P.TEST_PARAMS, seed=23, fuse_levels=fuse
+        )
+        e.compile(nl)
+        w0 = e.encrypt_inputs(inputs)
+        a = np.asarray(w0).copy()
+        ref = jnp.asarray(a.copy())
+        for _ in range(3):
+            ref = e.evaluate(ref)
+        got = e.evaluate_cycles(jnp.asarray(a), 3)
+        assert (np.asarray(got) == np.asarray(ref)).all(), fuse
+        # oracle check on top of the bit-equality
+        c = Circuit.from_netlist(nl)
+        wm = c.initialize_wire_map(nl.wire_set, inputs)
+        for _ in range(3):
+            wm = c.evaluate(wm)
+        out = e.decrypt_outputs(got)
+        for w in out:
+            assert out[w] == bool(wm[w]), w
+
+
 def test_engine_mxu_backend_lut_mode():
     """LUT mode on the MXU kernels: per-slot test polynomials flow through
     the fused kernel (testv [S, N]), single- and multi-bit variants."""

@@ -18,6 +18,7 @@ Env:
   FUSE     1/0 level fusion (unset = auto)
   BATCH    vectors per serving pass (0 = single vector, latency shape)
   CYCLES   sequential cycles (default 1)
+  CYCFUSE  1 = all cycles in one dispatch (engine.evaluate_cycles)
   SEED     input RNG seed (default 7)
 """
 import json
@@ -88,25 +89,37 @@ for path, B, cycles in jobs:
 
     inputs = [vec() for _ in range(B)] if B else vec()
 
+    # CYCFUSE=1: all cycles in ONE dispatch (engine.evaluate_cycles) —
+    # per-cycle times then report the amortized dt/cycles.
+    cycfuse = bool(int(os.environ.get("CYCFUSE", "0"))) and cycles > 1
+
     # first pass: compile + warmup (all cycles share the level executables)
     wires = e.encrypt_inputs(inputs)
     t0 = time.time()
-    for _ in range(cycles):
-        wires = e.evaluate(wires)
+    if cycfuse:
+        wires = e.evaluate_cycles(wires, cycles)
+    else:
+        for _ in range(cycles):
+            wires = e.evaluate(wires)
     _ = np.asarray(wires)
     first = time.time() - t0
     print(f"first eval (incl. compile): {first:.1f}s", flush=True)
 
-    # steady-state: fresh ciphertexts, per-cycle wall-clock
     wires = e.encrypt_inputs(inputs)
     cyc_t = []
     t_all = time.time()
-    for _c in range(cycles):
-        t0 = time.time()
-        wires = e.evaluate(wires)
+    if cycfuse:
+        wires = e.evaluate_cycles(wires, cycles)
         _ = np.asarray(wires)
-        cyc_t.append(time.time() - t0)
-    dt = time.time() - t_all
+        dt = time.time() - t_all
+        cyc_t = [dt / cycles] * cycles
+    else:
+        for _c in range(cycles):
+            t0 = time.time()
+            wires = e.evaluate(wires)
+            _ = np.asarray(wires)
+            cyc_t.append(time.time() - t0)
+        dt = time.time() - t_all
 
     # oracle check over all cycles (stateful for sequential circuits)
     c = Circuit.from_netlist(read_verilog_file(path))
@@ -146,6 +159,7 @@ for path, B, cycles in jobs:
                 "backend": backend,
                 "batch": B,
                 "cycles": cycles,
+                "cycfuse": cycfuse,
                 "steady_s": round(dt, 3),
                 "per_vector_s": round(dt / (B or 1), 3),
                 "per_cycle_s": [round(t, 3) for t in cyc_t],
