@@ -13,9 +13,11 @@ from __future__ import annotations
 
 from functools import partial
 
+import os
+import time
+
 import jax
 import jax.numpy as jnp
-import time
 
 import numpy as np
 
@@ -388,8 +390,11 @@ class BooleanEngine:
             )
         # chunk into <= MAXC-level scans of EQUAL length (one compiled
         # executable, ceil(L/C) dispatches); pad the tail with no-op
-        # levels whose every destination is the trash wire
-        MAXC = 128
+        # levels whose every destination is the trash wire.
+        # HELM_TPU_MAXC overrides (diagnostic: the worker-crash bound
+        # appears to scale with per-dispatch queued work, i.e. levels x
+        # padded-G — AES batch-8 crashed at MAXC=128 where batch-4 ran)
+        MAXC = int(os.environ.get("HELM_TPU_MAXC", "128"))
         L_tot = len(lps)
         nch = -(-L_tot // MAXC)
         C = -(-L_tot // nch)
