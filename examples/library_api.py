@@ -30,7 +30,9 @@ from helm_tpu.engines.boolean import BooleanEngine  # noqa: E402
 def gates_mode():
     """Boolean circuit: one gate bootstrap per gate, one launch per level."""
     nl = read_verilog_file("benchmarks/netlists/2-bit-adder.v")
-    # production: params=None -> GATES_PARAMS (or P.GATES_TPU_MB2 + backend="mxu")
+    # production: params=None -> GATES_128_K3 (≥100-bit core-SVP; add
+    # backend="mxu" for the fused kernel). Weak reference-mirroring sets
+    # (P.GATES_PARAMS etc.) print a security warning when selected.
     engine = BooleanEngine(mode="gates", params=P.TEST_PARAMS, seed=7)
     engine.compile(nl)
 

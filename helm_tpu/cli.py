@@ -233,7 +233,7 @@ def _run_boolean(args, netlist) -> int:
         backend=args.backend,
         fuse_levels=args.fuse_levels,
         keys=_maybe_load_keys(
-            args, params or (P.GATES_PARAMS if mode == "gates" else P.LUT_PARAMS)
+            args, params or (P.DEFAULT_GATES if mode == "gates" else P.DEFAULT_LUT)
         ),
     )
     print(f"KeyGen done in {time.time() - start} seconds.")
@@ -343,7 +343,7 @@ def _run_arith(args, netlist) -> int:
         args.arithmetic,
         params=params,
         seed=args.seed,
-        keys=_maybe_load_keys(args, params or P.ARITH_PARAMS),
+        keys=_maybe_load_keys(args, params or P.DEFAULT_ARITH),
     )
     print(f"KeyGen done in {time.time() - start} seconds.")
     if args.mesh:

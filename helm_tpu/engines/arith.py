@@ -28,7 +28,7 @@ from ..circuit.graph import Circuit, _is_numeric
 from ..circuit.verilog import Netlist
 from ..fhe import lwe, pbs_jnp
 from ..fhe.server_key import gen_server_key
-from ..params import ARITH_PARAMS, TfheParams
+from ..params import DEFAULT_ARITH, TfheParams, warn_if_weak
 from .radix import WIDTH_BLOCKS, RadixOps, trivial_blocks
 
 
@@ -44,7 +44,8 @@ class ArithEngine:
         self.ptxt_type = ptxt_type
         self.nb = WIDTH_BLOCKS[ptxt_type]
         self.width = 2 * self.nb
-        self.params = params or ARITH_PARAMS
+        self.params = params or DEFAULT_ARITH
+        warn_if_weak(self.params)
         if keys is not None:  # preloaded (client, server) keys (fhe/keys.py)
             self.client_key, sk = keys
             assert self.client_key.params.name == self.params.name

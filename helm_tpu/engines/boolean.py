@@ -27,7 +27,7 @@ from ..circuit.plan import (CircuitPlan, Q8, binarize, build_plan, decompose_wid
 from ..circuit.verilog import Netlist
 from ..fhe import lwe, pbs_jnp
 from ..fhe.server_key import gen_server_key
-from ..params import GATES_PARAMS, LUT_PARAMS, Q, TfheParams
+from ..params import DEFAULT_GATES, DEFAULT_LUT, Q, TfheParams, warn_if_weak
 
 
 def _level_body(
@@ -261,7 +261,8 @@ class BooleanEngine:
         self.fuse_levels = fuse_levels
         self.backend = backend
         self.mode = mode
-        self.params = params or (GATES_PARAMS if mode == "gates" else LUT_PARAMS)
+        self.params = params or (DEFAULT_GATES if mode == "gates" else DEFAULT_LUT)
+        warn_if_weak(self.params)
         if keys is not None:  # preloaded (client, server) keys (fhe/keys.py)
             self.client_key, sk = keys
             assert self.client_key.params.name == self.params.name

@@ -753,6 +753,47 @@ TEST_PARAMS_MB4 = TfheParams(
     grouping=4,
 )
 
+# ----------------------------------------------------------------------
+# Deployment defaults + weak-set warning
+# ----------------------------------------------------------------------
+
+#: Engine/CLI defaults: the ≥100-bit-core-SVP deployment family — the same
+#: security class as the reference's flagship CPU path (tfhe-rs boolean
+#: defaults, reference src/bin/helm.rs:241). The reference-GPU-mirroring
+#: sets (GATES_PARAMS et al., ~35–55-bit core-SVP) stay selectable via
+#: --params but print a warning naming their security level.
+DEFAULT_GATES = GATES_128_K3
+DEFAULT_LUT = LUT_128_K2
+DEFAULT_ARITH = ARITH_128_MB2
+
+_warned_weak: set[str] = set()
+
+
+def warn_if_weak(p: TfheParams) -> None:
+    """Print a loud once-per-set warning when a sub-100-bit production set
+    is selected (SECURITY.md: the reference-GPU-mirroring family's LWE key
+    is ~35-bit core-SVP). Noise-free `test_*` fixtures are exempt — they
+    are deliberately insecure pipeline-validation sets, not deployment
+    candidates."""
+    import sys
+
+    if p.name.startswith("test") or p.name in _warned_weak:
+        return
+    from .fhe.security import security_bits
+
+    bits = security_bits(p)
+    if bits < 100.0:
+        _warned_weak.add(p.name)
+        print(
+            f"[helm_tpu] WARNING: parameter set '{p.name}' is ~{bits:.0f}-bit"
+            " core-SVP — NOT a deployment-grade security level. Use the"
+            " default 128-bit family (gates_128_k3 / lut_128_k2 /"
+            " arith_128_mb2) for anything but A/B benchmarking"
+            " (see SECURITY.md).",
+            file=sys.stderr,
+        )
+
+
 ALL_PARAMS = {
     p.name: p
     for p in (

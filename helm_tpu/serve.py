@@ -88,9 +88,9 @@ def _make_engine(args, netlist):
 
         if params is None:
             if args.arithmetic:
-                params = P.ARITH_PARAMS
+                params = P.DEFAULT_ARITH
             else:
-                params = P.LUT_PARAMS if netlist.has_luts else P.GATES_PARAMS
+                params = P.DEFAULT_LUT if netlist.has_luts else P.DEFAULT_GATES
         keys = load_or_generate(args.keys, params, args.seed)
 
     if args.arithmetic:

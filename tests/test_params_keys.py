@@ -38,6 +38,34 @@ def test_production_failure_rates():
         )
 
 
+def test_deployment_defaults_are_128bit(capsys):
+    # engine/CLI defaults are the >=100-bit deployment family (round-4
+    # VERDICT item 6; the reference's flagship CPU path is its secure
+    # configuration, reference src/bin/helm.rs:241)
+    from helm_tpu.fhe.security import security_bits
+
+    assert P.DEFAULT_GATES is P.GATES_128_K3
+    assert P.DEFAULT_LUT is P.LUT_128_K2
+    assert P.DEFAULT_ARITH is P.ARITH_128_MB2
+    for p in (P.DEFAULT_GATES, P.DEFAULT_LUT, P.DEFAULT_ARITH):
+        assert security_bits(p) >= 100.0, p.name
+
+    # weak production sets warn once, naming the core-SVP level
+    P._warned_weak.clear()
+    P.warn_if_weak(P.GATES_PARAMS)
+    err = capsys.readouterr().err
+    assert "WARNING" in err and "35" in err and "gates_v32" in err
+    P.warn_if_weak(P.GATES_PARAMS)  # once per set per process
+    assert capsys.readouterr().err == ""
+    # noise-free test fixtures are exempt (they are pipeline-validation
+    # sets, not deployment candidates)
+    P.warn_if_weak(P.TEST_PARAMS)
+    assert capsys.readouterr().err == ""
+    # the 128-bit family never warns
+    P.warn_if_weak(P.GATES_128_K3)
+    assert capsys.readouterr().err == ""
+
+
 def test_security_gaps_documented():
     # (the *_TPU* sets use the quieter sigma=8 BSK — a documented tradeoff,
     # see SECURITY.md — so only the reference-mirroring sets are pinned here)
