@@ -80,6 +80,59 @@ def _fail_with_stale(reason: str) -> int:
     return 1
 
 
+def _bench_circuit_latency(p, ck, sk, backend):
+    """c880-like single-vector wall-clock vs the analytic reference bounds.
+
+    Reuses the bench keys (same parameter set); evaluates the fused-level
+    program once for compile + median-of-3 timed runs, oracle-checked."""
+    import numpy as np
+
+    from helm_tpu.circuit.graph import Circuit
+    from helm_tpu.circuit.verilog import read_verilog_file
+    from helm_tpu.engines.boolean import BooleanEngine
+    from helm_tpu.refbound import level_bootstrap_profile, reference_bounds
+
+    path = os.environ.get("BENCH_NETLIST", "benchmarks/netlists/c880-like.v")
+    nl = read_verilog_file(path)
+    eng = BooleanEngine(
+        mode="gates", params=p, backend=backend, keys=(ck, sk)
+    )
+    eng.compile(nl)
+    rng = np.random.default_rng(11)
+    inputs = {w: bool(rng.integers(0, 2)) for w in sorted(nl.inputs)}
+    wires = eng.evaluate(eng.encrypt_inputs(inputs))
+    np.asarray(wires)  # compile + warmup
+    times = []
+    for _ in range(3):
+        w0 = eng.encrypt_inputs(inputs)
+        t0 = time.perf_counter()
+        w0 = eng.evaluate(w0)
+        np.asarray(w0)
+        times.append(time.perf_counter() - t0)
+        wires = w0
+    c = Circuit.from_netlist(read_verilog_file(path))
+    exp = c.evaluate(c.initialize_wire_map(nl.wire_set, inputs))
+    got = eng.decrypt_outputs(wires)
+    assert all(got[w] == bool(exp[w]) for w in got), "circuit outputs wrong"
+    rb = reference_bounds(level_bootstrap_profile(c))
+    value = float(np.median(times))
+    import pathlib
+
+    print(json.dumps({
+        "metric": f"{pathlib.Path(path).stem}_wall_clock_per_vector",
+        "value": round(value, 4),
+        "unit": "s",
+        # >1 = faster than an infinite-core reference host on one vector
+        "vs_baseline": round(rb["infinite_core_floor_s"] / value, 3),
+        "ref_infinite_core_floor_s": rb["infinite_core_floor_s"],
+        "ref_core_bound_s": rb["core_bound_s"],
+        "ref_cores": rb["cores"],
+        "ref_bootstraps": rb["bootstraps"],
+        "bounds_model": "10ms/bootstrap; levels sequential (circuit.rs:524)",
+        "windows": [round(t, 4) for t in times],
+    }))
+
+
 def main():
     # fail fast (but patiently) if the TPU backend is unreachable — a hung
     # axon init otherwise stalls the whole bench run for its full timeout
@@ -187,6 +240,19 @@ def main():
         dt = time.perf_counter() - t0
         rates.append(G * iters / dt)
         print(f"[bench] window {w+1}/{nwin}: {rates[-1]:.1f} bs/s", file=sys.stderr)
+
+    # Second metric (printed BEFORE the primary so the primary stays the
+    # last line): per-circuit wall-clock vs the analytic reference bounds
+    # from the level profile (helm_tpu/refbound.py) — a comparison that
+    # does not depend on the 6400 bs/s throughput estimate. The floor is
+    # unreachable by ANY core count (levels are strictly sequential in
+    # the reference, src/circuit.rs:524-548).
+    if os.environ.get("BENCH_CIRCUIT", "1") != "0":
+        try:
+            _bench_circuit_latency(p, ck, sk, backend)
+        except Exception as e:  # never let the second metric sink the first
+            print(f"[bench] circuit metric failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     value = float(np.median(rates))
     rec = {

@@ -141,6 +141,19 @@ for path, B, cycles in jobs:
             if got[w] != v:
                 ok = False
 
+    # analytic reference bounds from the level profile (helm_tpu/refbound.py):
+    # the reference cannot evaluate one vector faster than its critical-path
+    # floor at ANY core count, nor faster than the width-capped C-core bound
+    # at perfect scaling (reference src/circuit.rs:524-548 level loop)
+    from helm_tpu.refbound import level_bootstrap_profile, reference_bounds
+
+    rb = reference_bounds(
+        level_bootstrap_profile(c),
+        cores=int(os.environ.get("REF_CORES", "64")),
+        cycles=cycles,
+    )
+    pv = dt / (B or 1)
+
     name = pathlib.Path(path).stem
     print(
         f"{name} steady-state: {dt:.3f}s"
@@ -165,6 +178,16 @@ for path, B, cycles in jobs:
                 "per_cycle_s": [round(t, 3) for t in cyc_t],
                 "first_s": round(first, 1),
                 "correct": ok,
+                # reference bounds: per-vector measured vs (a) the
+                # infinite-core critical-path floor and (b) the C-core
+                # perfect-scaling bound; ratios >1 mean the chip beats
+                # that reference machine on per-vector wall-clock
+                "ref_infinite_core_floor_s": rb["infinite_core_floor_s"],
+                "ref_core_bound_s": rb["core_bound_s"],
+                "ref_cores": rb["cores"],
+                "ref_bootstraps": rb["bootstraps"],
+                "vs_ref_floor": round(rb["infinite_core_floor_s"] / pv, 3),
+                "vs_ref_cores": round(rb["core_bound_s"] / pv, 3),
             }
         ),
         flush=True,
