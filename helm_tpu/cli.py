@@ -242,6 +242,14 @@ def _run_boolean(args, netlist) -> int:
 
         shard_engine(engine, args.mesh)
     engine.compile(netlist)
+    if args.batch_input_files:
+        # tile-quantization check: efficient batches land just under a
+        # multiple of the kernel lane tile (helm_tpu/batching.py)
+        from .batching import check_batch
+
+        warn = check_batch(engine, len(args.batch_input_files))
+        if warn:
+            print(f"[!] {warn}")
 
     start = time.time()
     wires = engine.encrypt_inputs(input_wire_map)

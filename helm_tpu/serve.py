@@ -44,8 +44,14 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--keys", metavar="DIR", help="persist keys (fhe/keys.py)")
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument(
-        "--batch", type=int, default=8,
-        help="vectors per evaluation (fixed shape -> one compile)",
+        "--batch", default="8",
+        help="vectors per evaluation (fixed shape -> one compile), or"
+        " 'auto' to pick a tile-quantization-efficient batch from the"
+        " compiled level profile (helm_tpu/batching.py)",
+    )
+    ap.add_argument(
+        "--max-batch", type=int, default=16,
+        help="upper bound for --batch auto",
     )
     ap.add_argument(
         "--linger", type=float, default=0.5,
@@ -152,6 +158,33 @@ def main(argv=None) -> int:
     t0 = time.time()
     engine = _make_engine(args, netlist)
     engine.compile(netlist)
+
+    # batch-shape selection: dead tile lanes do full blind-rotation work,
+    # so pick (or vet) the batch against the compiled level profile
+    if str(args.batch) == "auto":
+        if hasattr(engine, "_scan_levels"):
+            from .batching import suggest_batch
+
+            batch, table = suggest_batch(engine, args.max_batch)
+            fill = next(t["fill"] for t in table if t["batch"] == batch)
+            print(
+                f"[serve] --batch auto -> {batch} ({fill:.0%} tile fill;"
+                f" candidates {[(t['batch'], t['fill']) for t in table]})",
+                flush=True,
+            )
+        else:  # arith engine: radix widths are bucket-padded internally
+            batch = min(8, args.max_batch)
+            print(f"[serve] --batch auto -> {batch} (arith mode)", flush=True)
+    else:
+        batch = int(args.batch)
+        if hasattr(engine, "_scan_levels"):
+            from .batching import check_batch
+
+            warn = check_batch(engine, batch, args.max_batch)
+            if warn:
+                print(f"[serve] WARNING: {warn}", flush=True)
+    args.batch = batch
+
     print(f"[serve] engine ready in {time.time() - t0:.1f}s "
           f"(batch={args.batch}, watching {args.watch})", flush=True)
 

@@ -1,0 +1,79 @@
+"""Tile-quantization batch model (helm_tpu/batching.py).
+
+Encodes the measured round-3 finding: AES batch 6 is slower per block
+than batch 4 because its padded per-level slots spill into a second
+512-lane tile at low fill (PERFORMANCE.md)."""
+
+import numpy as np
+
+from helm_tpu import params as P
+from helm_tpu.batching import (
+    check_batch,
+    predicted_cost_per_vector,
+    suggest_batch,
+    tile_for,
+)
+from helm_tpu.circuit.verilog import read_verilog_file
+from helm_tpu.engines.boolean import BooleanEngine
+
+
+def _engine(fuse=None, backend="mxu"):
+    e = BooleanEngine(
+        mode="gates", params=P.TEST_PARAMS, seed=3, backend=backend,
+        fuse_levels=fuse,
+    )
+    e.compile(read_verilog_file("benchmarks/netlists/2-bit-adder.v"))
+    return e
+
+
+def test_tile_for_mirrors_kernel_autopick():
+    # base tile by ring size
+    assert tile_for(P.GATES_128_K3, 10**9) == 512  # N=512
+    assert tile_for(P.LUT_128_K2, 10**9) == 256  # N=1024
+    assert tile_for(P.ARITH_128_MB2, 10**9) == 128  # N=2048
+    # latency auto-narrowing: tile follows the 128-rounded batch width
+    assert tile_for(P.GATES_128_K3, 100) == 128
+    assert tile_for(P.GATES_128_K3, 300) == 384
+    assert tile_for(P.GATES_128_K3, 600) == 512
+
+
+def test_cost_model_quantization():
+    e = _engine(fuse=False)
+    # 2-bit adder: every PBS level pads to 2 slots; at batch B <= 64 each
+    # level launches one 128-lane tile regardless, so lanes/vector falls
+    # as 1/B and the suggestion takes the largest batch under the cap
+    c1, f1 = predicted_cost_per_vector(e, 1)
+    c8, f8 = predicted_cost_per_vector(e, 8)
+    assert c8 == c1 / 8 and f8 == 8 * f1
+    best, table = suggest_batch(e, 16)
+    assert best == 16
+    # narrow circuit: even the best batch underfills -> warning names it
+    warn = check_batch(e, 2, 16)
+    assert warn and "batch 16" in warn
+
+    # a batch that fills its tiles exactly never warns: fabricate via the
+    # fused path where every level launches at the uniform padded width
+    ef = _engine(fuse=True)
+    assert ef._scan_levels is not None
+    cf, ff = predicted_cost_per_vector(ef, 64)  # 2*64=128 lanes = 1 tile
+    assert ff == 1.0
+    assert check_batch(ef, 64, 64) is None
+
+
+def test_non_mxu_backend_has_no_quantization():
+    e = _engine(fuse=False, backend="jnp")
+    _, fill = predicted_cost_per_vector(e, 3)
+    assert fill == 1.0
+    assert check_batch(e, 3) is None
+
+
+def test_fused_counts_noop_pad_levels():
+    # fused chunks equalize by appending no-op full-width levels; they do
+    # real kernel work and must count in the cost
+    e = _engine(fuse=True)
+    n_scan = sum(c["slot_in"].shape[0] for c in e._scan_levels)
+    S = e._scan_levels[0]["slot_in"].shape[1]
+    cost, _ = predicted_cost_per_vector(e, 64)
+    lw = 64 * S
+    gt = tile_for(e.params, lw)
+    assert cost == n_scan * (-(-lw // gt) * gt) / 64
