@@ -65,6 +65,20 @@ def build_argparser() -> argparse.ArgumentParser:
         help="exit after N batches (0 = run forever)",
     )
     ap.add_argument(
+        "--supervise", action="store_true",
+        help="run the serving loop in a child process and restart it when"
+        " the backend kills it (TPU-worker aborts); inputs are only moved"
+        " to done/ after their outputs are written, so a restart resumes"
+        " cleanly from the watch directory",
+    )
+    ap.add_argument(
+        "--max-restarts", type=int, default=3,
+        help="supervisor: give up after N consecutive crash restarts",
+    )
+    ap.add_argument(
+        "--crash-after", type=int, default=0, help=argparse.SUPPRESS,
+    )  # test hook: hard-exit(17) after N batches (restart-path testing)
+    ap.add_argument(
         "--fuse-levels", action="store_const", const=True, default=None,
         help="force level fusion (default: auto for narrow/deep circuits)",
     )
@@ -141,7 +155,57 @@ def _collect(watch: str, batch: int, linger: float, poll: float) -> list[str]:
         time.sleep(poll)
 
 
+def _supervise(argv: list[str]) -> int:
+    """Restart-on-crash wrapper: run the serving loop as a child process
+    and restart it on abnormal exit. A TPU-worker abort takes the whole
+    feeding process with it (PERFORMANCE.md crash notes); the daemon
+    itself must outlive that. File-based batching makes restarts safe:
+    an input moves to done/ only after its output CSV is written."""
+    import subprocess
+
+    args = build_argparser().parse_args(argv)
+    child_argv = [a for a in argv if a != "--supervise"]
+    restarts = 0
+    while True:
+        rc = subprocess.call(
+            [sys.executable, "-m", "helm_tpu.serve", *child_argv]
+        )
+        if rc == 0:
+            return 0
+        restarts += 1
+        if restarts > args.max_restarts:
+            print(
+                f"[serve] giving up after {args.max_restarts} restarts"
+                f" (last rc={rc})",
+                flush=True,
+            )
+            return rc
+        # the crash-injection test hook must not re-fire in the restarted
+        # child — the point is proving recovery, not crash-looping
+        if "--crash-after" in child_argv:
+            i = child_argv.index("--crash-after")
+            del child_argv[i : i + 2]
+        print(
+            f"[serve] worker died (rc={rc}); restart"
+            f" {restarts}/{args.max_restarts}",
+            flush=True,
+        )
+        time.sleep(min(2.0 * restarts, 10.0))
+
+
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if "--supervise" in argv:
+        return _supervise(list(argv))
+    # deterministic backend selection for child processes / tests: this
+    # image's jax ignores JAX_PLATFORMS, so honor the legacy env var via
+    # the config knob before any device use
+    plat = os.environ.get("JAX_PLATFORM_NAME")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     args = build_argparser().parse_args(argv)
     from .compile_cache import enable_compile_cache
 
@@ -188,19 +252,71 @@ def main(argv=None) -> int:
     print(f"[serve] engine ready in {time.time() - t0:.1f}s "
           f"(batch={args.batch}, watching {args.watch})", flush=True)
 
+    # required input wires for host-side vetting of each vector BEFORE it
+    # joins a batch: a malformed/truncated CSV must quarantine alone, not
+    # sink the batch (or the daemon) with it
+    if hasattr(engine, "circuit"):  # arith engine
+        required = set(engine.circuit.input_wires) - set(
+            engine.netlist.dff_outputs
+        )
+    else:
+        required = set(engine.plan.input_wires) - set(engine.plan.dff_outputs)
+    failed_dir = os.path.join(args.watch, "failed")
+
+    def _quarantine(name: str, err) -> None:
+        os.makedirs(failed_dir, exist_ok=True)
+        shutil.move(
+            os.path.join(args.watch, name), os.path.join(failed_dir, name)
+        )
+        with open(os.path.join(failed_dir, name + ".error.txt"), "w") as f:
+            f.write(f"{err}\n")
+        print(f"[serve] WARNING: rejected {name}: {err}", flush=True)
+
     batches = 0
     while True:
         names = _collect(args.watch, args.batch, args.linger, args.poll)
-        vecs = [
-            native_loader.read_input_wires(os.path.join(args.watch, f), ptxt)
-            for f in names
-        ]
+        vecs, ok_names = [], []
+        for f in names:
+            try:
+                vec = native_loader.read_input_wires(
+                    os.path.join(args.watch, f), ptxt
+                )
+                if not vec:
+                    # the CLI's empty->dummy fallback is a convenience for
+                    # ad-hoc runs; a serving input that parses to nothing
+                    # is a malformed file, not a request for all-false
+                    raise ValueError("no input wires parsed")
+                if "dummy" not in vec:
+                    missing = required - vec.keys()
+                    if missing:
+                        raise KeyError(
+                            f"missing input wires: {sorted(missing)[:5]}"
+                            + ("..." if len(missing) > 5 else "")
+                        )
+            except Exception as e:
+                _quarantine(f, e)
+                continue
+            vecs.append(vec)
+            ok_names.append(f)
+        if not vecs:
+            continue
         # pad to the fixed batch shape so the compiled program is reused
         padded = vecs + [vecs[0]] * (args.batch - len(vecs))
         t0 = time.time()
-        outs = engine.decrypt_outputs(engine.evaluate(engine.encrypt_inputs(padded)))
+        try:
+            outs = engine.decrypt_outputs(
+                engine.evaluate(engine.encrypt_inputs(padded))
+            )
+        except Exception as e:
+            # in-process evaluation failure: quarantine the batch so the
+            # daemon cannot hot-loop on it (process-killing backend crashes
+            # are handled by the --supervise restart loop instead)
+            print(f"[serve] ERROR: evaluation failed: {e}", flush=True)
+            for f in ok_names:
+                _quarantine(f, e)
+            continue
         dt = time.time() - t0
-        for name, out in zip(names, outs):
+        for name, out in zip(ok_names, outs):
             dst = os.path.join(
                 args.outdir, os.path.splitext(name)[0] + ".out.csv"
             )
@@ -209,11 +325,16 @@ def main(argv=None) -> int:
                 os.path.join(args.watch, name), os.path.join(done_dir, name)
             )
         print(
-            f"[serve] batch {batches}: {len(names)} vectors in {dt:.3f}s "
-            f"({dt / len(names):.3f}s/vector)",
+            f"[serve] batch {batches}: {len(ok_names)} vectors in {dt:.3f}s "
+            f"({dt / len(ok_names):.3f}s/vector)",
             flush=True,
         )
         batches += 1
+        if args.crash_after and batches >= args.crash_after:
+            # test hook for the --supervise restart path: die the hard way
+            # (same observable behavior as a TPU-worker abort)
+            print("[serve] crash-after hook firing", flush=True)
+            os._exit(17)
         if args.max_batches and batches >= args.max_batches:
             return 0
 

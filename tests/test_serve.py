@@ -37,6 +37,90 @@ def test_serve_oneshot_gates(tmp_path):
         assert (watch / "done" / f"v{i}.csv").exists()
 
 
+def test_serve_quarantines_malformed_csv(tmp_path):
+    """A garbage or truncated CSV moves to failed/ with an error note and
+    never sinks the batch it arrived with (round-4 hardening)."""
+    watch = tmp_path / "in"
+    outd = tmp_path / "out"
+    watch.mkdir()
+    (watch / "bad1.csv").write_bytes(b"\x00\xff\xfenot a csv")
+    (watch / "bad2.csv").write_text("wire,value\na[0],1\n")  # missing wires
+    (watch / "good.csv").write_text(
+        "wire,value\na[0],1\na[1],0\nb[0],1\nb[1],1\ncin,0\n"
+    )
+    rc = main([
+        "-v", "benchmarks/netlists/2-bit-adder.v",
+        "--watch", str(watch), "--outdir", str(outd),
+        "--test-params", "--batch", "3", "--max-batches", "1",
+        "--linger", "0.1",
+    ])
+    assert rc == 0
+    assert (outd / "good.out.csv").exists()
+    assert (watch / "done" / "good.csv").exists()
+    for bad in ("bad1.csv", "bad2.csv"):
+        assert (watch / "failed" / bad).exists(), bad
+        assert (watch / "failed" / f"{bad}.error.txt").read_text().strip()
+        assert not (outd / f"{bad[:-4]}.out.csv").exists()
+    # the truncated file's note names what was missing
+    assert "missing input wires" in (
+        watch / "failed" / "bad2.csv.error.txt"
+    ).read_text()
+
+
+def test_serve_partial_batch_linger_flush(tmp_path):
+    """Fewer inputs than --batch still evaluate after the linger window
+    (padded to the fixed shape internally)."""
+    watch = tmp_path / "in"
+    outd = tmp_path / "out"
+    watch.mkdir()
+    (watch / "only.csv").write_text(
+        "wire,value\na[0],1\na[1],1\nb[0],0\nb[1],1\ncin,1\n"
+    )
+    rc = main([
+        "-v", "benchmarks/netlists/2-bit-adder.v",
+        "--watch", str(watch), "--outdir", str(outd),
+        "--test-params", "--batch", "4", "--max-batches", "1",
+        "--linger", "0.2", "--poll", "0.05",
+    ])
+    assert rc == 0
+    got = csv_io.read_input_wires(str(outd / "only.out.csv"), "bool")
+    nl = read_verilog_file("benchmarks/netlists/2-bit-adder.v")
+    c = Circuit.from_netlist(nl)
+    ins = {"a[0]": True, "a[1]": True, "b[0]": False, "b[1]": True, "cin": True}
+    exp = c.evaluate(c.initialize_wire_map(nl.wire_set, ins))
+    assert all(bool(exp[w]) == bool(v) for w, v in got.items())
+    assert (watch / "done" / "only.csv").exists()
+
+
+def test_serve_supervisor_restarts_after_crash(tmp_path):
+    """--supervise: the daemon outlives a hard worker death (os._exit via
+    the hidden --crash-after hook) and the restarted child finishes the
+    remaining inputs — processed files are never re-evaluated."""
+    watch = tmp_path / "in"
+    outd = tmp_path / "out"
+    watch.mkdir()
+    for i, bits in enumerate([(1, 0, 1, 0, 0), (0, 1, 1, 1, 1)]):
+        a0, a1, b0, b1, cin = bits
+        (watch / f"v{i}.csv").write_text(
+            f"wire,value\na[0],{a0}\na[1],{a1}\nb[0],{b0}\nb[1],{b1}\ncin,{cin}\n"
+        )
+    rc = main([
+        "-v", "benchmarks/netlists/2-bit-adder.v",
+        "--watch", str(watch), "--outdir", str(outd),
+        "--test-params", "--batch", "1", "--max-batches", "1",
+        "--linger", "0.1", "--poll", "0.05",
+        "--supervise", "--crash-after", "1", "--max-restarts", "2",
+    ])
+    assert rc == 0
+    # child 1 finished v0 then hard-exited; the restarted child (crash
+    # hook stripped by the supervisor) completed v1 and exited cleanly
+    assert (outd / "v0.out.csv").exists()
+    assert (outd / "v1.out.csv").exists()
+    assert (watch / "done" / "v0.csv").exists()
+    assert (watch / "done" / "v1.csv").exists()
+    assert not list(watch.glob("*.csv"))
+
+
 def test_serve_oneshot_arith(tmp_path):
     watch = tmp_path / "in"
     outd = tmp_path / "out"
