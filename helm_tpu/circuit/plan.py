@@ -48,7 +48,8 @@ MAX_SLOT_INPUTS = 3
 class LevelPlan:
     """One level's worth of batched work (padded static arrays)."""
 
-    num_slots: int  # real PBS slots before padding
+    num_slots: int  # PBS slots after pow2 padding (= slot_in.shape[0])
+    real_slots: int  # PBS slots carrying real gate work (before padding)
     slot_in: np.ndarray  # int32 [S, 3] wire indices
     slot_coef: np.ndarray  # int32 [S, 3]
     slot_off: np.ndarray  # uint32 [S] body offsets
@@ -197,6 +198,7 @@ def build_plan(
                     f"gate type {t.value} not supported in {mode} mode"
                 )
 
+        real_S = len(slots_in)  # PBS slots carrying real gate work
         S = _pad_pow2(len(slots_in), min_slots) if slots_in else 0
         while len(slots_in) < S:
             add_slot([0], [0], np.uint32(0), trash, 0)
@@ -211,6 +213,7 @@ def build_plan(
         level_plans.append(
             LevelPlan(
                 num_slots=S,
+                real_slots=real_S,
                 slot_in=np.array(slots_in, dtype=np.int32).reshape(S, MAX_SLOT_INPUTS),
                 slot_coef=np.array(slots_coef, dtype=np.int32).reshape(S, MAX_SLOT_INPUTS),
                 slot_off=np.array(slots_off, dtype=np.uint32).reshape(S),

@@ -81,6 +81,8 @@ class DeviceServerKey:
                 keys = (ts_pbs.mxu_server_key_hb2(self),)
             elif kn in ("ts", "hb"):
                 keys = (ts_pbs.mxu_server_key_ts(self),)
+            elif kn == "fs16":
+                keys = (mxu_pbs.mxu_server_key_fs_i16(self),)
             else:
                 keys = (mxu_pbs.mxu_server_key_fs(self),)
         else:

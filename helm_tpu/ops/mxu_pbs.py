@@ -1294,6 +1294,12 @@ def _make_kernel_fs_mb(
                     splits = [
                         _split256(fwd_pi[r][t]) for r in range(rows_tot)
                     ]
+                    # fs16 variant: the BSK slab is balanced int16
+                    # (|B| <= p//2 < 2^15, exact) — the lane splat
+                    # materializes 2 bytes/element instead of 4, at the
+                    # cost of one i16->f32 convert per term (the values
+                    # are identical, so outputs stay bit-exact)
+                    bsk_i16 = bsk_ref.dtype == jnp.int16
                     for v in range(1, nv):
                         for c2 in range(kp1):
                             base = (
@@ -1306,6 +1312,8 @@ def _make_kernel_fs_mb(
                                 b = jnp.broadcast_to(
                                     chk[:, r : r + 1], (N2, G)
                                 )
+                                if bsk_i16:
+                                    b = b.astype(jnp.float32)
                                 flo, fhi = splits[r]
                                 plo = flo * b
                                 phi = fhi * b
@@ -1925,6 +1933,29 @@ def mxu_server_key_fs(dsk):
     return _layout_cache("fs-rc", dsk.bsk_ntt, build)
 
 
+def mxu_server_key_fs_i16(dsk):
+    """fs layout with the BSK slab stored as balanced int16.
+
+    Identical column order/values to mxu_server_key_fs; balanced entries
+    satisfy |B| <= p//2 < 2^15 (all CRT primes are < 2^16) so int16 is
+    exact. Halves the slab's HBM/VMEM footprint AND the per-term lane-splat
+    bytes in the pointwise stage — the round-4 A/B for the measured
+    splat-materialization bound (PERFORMANCE.md round 3): traffic halves
+    but each term pays an i16->f32 convert. Select with
+    HELM_TPU_MB_KERNEL=fs16."""
+
+    def build():
+        fs = mxu_server_key_fs(dsk)
+
+        @jax.jit
+        def conv(x):
+            return x.astype(jnp.int16)
+
+        return conv(fs)
+
+    return _layout_cache("fs-i16", dsk.bsk_ntt, build)
+
+
 @functools.lru_cache(maxsize=None)
 def _fs_tables(N: int):
     """Host-side twist and monomial tables in fs layout (numpy; cached).
@@ -2255,6 +2286,12 @@ def bootstrap_mxu(
                 dsk.params, bsk, lwe_in, testv,
                 g_tile=g_tile, interpret=interpret, tsptw=True,
                 ablate=ab,
+            )
+        elif kn == "fs16":
+            bsk = keys[0] if keys is not None else mxu_server_key_fs_i16(dsk)
+            acc = blind_rotate_fs_mb(
+                dsk.params, bsk, lwe_in, testv,
+                g_tile=g_tile, interpret=interpret,
             )
         else:
             bsk = keys[0] if keys is not None else mxu_server_key_fs(dsk)

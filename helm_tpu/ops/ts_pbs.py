@@ -89,10 +89,13 @@ def mb_kernel() -> str:
       hb2 2680.9 (implrow 2819.6) — hb + host-precomputed BSK limb-pair
         rows (no runtime _split256 in pointwise): +1.5..2.6% over hb,
         still under fs.
-    All four are bit-identical (tests/test_pallas.py) and kept as
+      fs16 — fs with the BSK slab in balanced int16 (round-4 splat-
+        traffic A/B: half the splat bytes, +1 convert per term); see
+        PERFORMANCE.md round 4 for the measurement.
+    All variants are bit-identical (tests/test_pallas.py) and kept as
     tested alternates / recorded negative results."""
     env = os.environ.get("HELM_TPU_MB_KERNEL")
-    if env in ("fs", "ts", "hb", "hb2"):
+    if env in ("fs", "fs16", "ts", "hb", "hb2"):
         return env
     if os.environ.get("HELM_TPU_TS_KERNEL", "0") == "1":  # legacy knob
         return "ts"

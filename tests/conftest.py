@@ -18,6 +18,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import faulthandler  # noqa: E402
+
+# round-3 full-suite run segfaulted once near the end (test_sharding on
+# the virtual CPU mesh; passes in isolation). Dump native tracebacks on
+# SIGSEGV/SIGABRT so any recurrence pins the crashing frame instead of
+# dying silently.
+faulthandler.enable(all_threads=True)
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

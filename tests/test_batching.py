@@ -51,13 +51,17 @@ def test_cost_model_quantization():
     warn = check_batch(e, 2, 16)
     assert warn and "batch 16" in warn
 
-    # a batch that fills its tiles exactly never warns: fabricate via the
-    # fused path where every level launches at the uniform padded width
+    # fused path: every level launches at the uniform padded width S=4,
+    # so the exact fill is sum(real)/(n_scan*S) once B*S is tile-aligned
     ef = _engine(fuse=True)
     assert ef._scan_levels is not None
-    cf, ff = predicted_cost_per_vector(ef, 64)  # 2*64=128 lanes = 1 tile
-    assert ff == 1.0
-    assert check_batch(ef, 64, 64) is None
+    S = ef._scan_levels[0]["slot_in"].shape[1]
+    n_scan = sum(c["slot_in"].shape[0] for c in ef._scan_levels)
+    real = sum(lp.real_slots for lp in ef.plan.levels)
+    cf, ff = predicted_cost_per_vector(ef, 64)  # 64*4=256 lanes = 1 tile
+    assert ff == real / (n_scan * S)
+    # 0.5 fill on this shape -> the warning fires even at the best batch
+    assert check_batch(ef, 64, 64) is not None
 
 
 def test_non_mxu_backend_has_no_quantization():
@@ -69,11 +73,22 @@ def test_non_mxu_backend_has_no_quantization():
 
 def test_fused_counts_noop_pad_levels():
     # fused chunks equalize by appending no-op full-width levels; they do
-    # real kernel work and must count in the cost
+    # real kernel work and must count in the cost (plus the calibrated
+    # per-launch overhead term)
+    from helm_tpu.batching import OVERHEAD_LANES
+
     e = _engine(fuse=True)
     n_scan = sum(c["slot_in"].shape[0] for c in e._scan_levels)
     S = e._scan_levels[0]["slot_in"].shape[1]
     cost, _ = predicted_cost_per_vector(e, 64)
     lw = 64 * S
     gt = tile_for(e.params, lw)
-    assert cost == n_scan * (-(-lw // gt) * gt) / 64
+    assert cost == n_scan * ((-(-lw // gt) * gt) + OVERHEAD_LANES) / 64
+
+
+def test_real_slots_drive_fill():
+    # pow2 slot padding counts as waste: real_slots < padded num_slots
+    e = _engine(fuse=False)
+    lps = e.plan.levels
+    assert all(lp.real_slots <= lp.num_slots for lp in lps)
+    assert sum(lp.real_slots for lp in lps) == 10  # 2-bit adder gates

@@ -371,6 +371,35 @@ def test_hb_multibit_k3_matches_fs():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_fs16_matches_fs():
+    """int16-BSK fs variant (mxu_server_key_fs_i16) bit-equals the f32-BSK
+    fs kernel at the k=3 geometry — same values, half the splat bytes
+    (round-4 splat-traffic A/B)."""
+    from helm_tpu.ops import mxu_pbs
+
+    p = P.TEST_PARAMS_K3
+    ck = lwe.keygen(p, seed=51)
+    dsk = pbs_jnp.DeviceServerKey.from_host(server_key.gen_server_key(ck))
+    rng = np.random.default_rng(29)
+    bits = rng.integers(0, 2, 11).astype(bool)
+    ct = lwe.encrypt(ck, lwe.encode_bool(bits))
+    testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
+    ref = np.asarray(
+        mxu_pbs.blind_rotate_fs_mb(
+            p, mxu_pbs.mxu_server_key_fs(dsk), jnp.asarray(ct), testv,
+            g_tile=8, interpret=True,
+        )
+    )
+    bsk16 = mxu_pbs.mxu_server_key_fs_i16(dsk)
+    assert bsk16.dtype == jnp.int16
+    got = np.asarray(
+        mxu_pbs.blind_rotate_fs_mb(
+            p, bsk16, jnp.asarray(ct), testv, g_tile=8, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_hb_blimb_matches_fs():
     """Hybrid kernel with host-precomputed BSK limb-pair rows (blimb,
     mxu_server_key_hb2) bit-equals the fs kernel — the fwd rows are

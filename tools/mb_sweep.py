@@ -44,9 +44,12 @@ lin = (
 lin[:, p.n] += np.uint32((-(1 << 29)) % (1 << 32))
 testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
 x = jnp.asarray(lin)
-layout = os.environ.get("LAYOUT", "gm")  # gm | fs | ts | hb
+layout = os.environ.get("LAYOUT", "gm")  # gm | fs | fs16 | ts | hb
 if layout == "fs":
     bsk_args = (mxu_pbs.mxu_server_key_fs(dsk),)
+    rot_fn = mxu_pbs.blind_rotate_fs_mb
+elif layout == "fs16":  # balanced-int16 BSK slab (round-4 splat A/B)
+    bsk_args = (mxu_pbs.mxu_server_key_fs_i16(dsk),)
     rot_fn = mxu_pbs.blind_rotate_fs_mb
 elif layout == "ts":
     from helm_tpu.ops import ts_pbs
