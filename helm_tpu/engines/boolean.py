@@ -352,12 +352,16 @@ class BooleanEngine:
                 and S <= 256
                 and S * len(lps) <= 3 * real
             )
-        # deep circuits are CHUNKED into uniform <=128-level scans: a
-        # single 358-level fused scan (AES-128 gates) crashed the TPU
-        # worker mid-eval (PERFORMANCE.md round-2 sweep), and equal-shape
-        # chunks share one compiled executable anyway — the last chunk is
-        # padded with no-op levels (every destination = the trash wire)
-        self._scan_levels = self._stack_levels() if fuse else None
+        # deep circuits are CHUNKED into uniform-length scans: a single
+        # 358-level fused scan (AES-128 gates) crashed the TPU worker
+        # mid-eval (PERFORMANCE.md round-2 sweep), and equal-shape chunks
+        # share one compiled executable anyway — the last chunk is padded
+        # with no-op levels (every destination = the trash wire). The
+        # chunk length is batch-dependent (see _chunks_for_batch), so
+        # stacking and chunking are separate steps.
+        self._scan_stacked = self._stack_levels() if fuse else None
+        self._chunk_cache: dict[int, list] = {}
+        self._scan_levels = self._chunks_for_batch(1) if fuse else None
 
     def _stack_levels(self):
         """Pad every level to uniform widths and stack for lax.scan."""
@@ -389,14 +393,50 @@ class BooleanEngine:
             stk["testv_sel"] = np.stack(
                 [pad(lp.testv_sel, S, 0) for lp in lps]
             )
-        # chunk into <= MAXC-level scans of EQUAL length (one compiled
-        # executable, ceil(L/C) dispatches); pad the tail with no-op
-        # levels whose every destination is the trash wire.
-        # HELM_TPU_MAXC overrides (diagnostic: the worker-crash bound
-        # appears to scale with per-dispatch queued work, i.e. levels x
-        # padded-G — AES batch-8 crashed at MAXC=128 where batch-4 ran)
-        MAXC = int(os.environ.get("HELM_TPU_MAXC", "128"))
-        L_tot = len(lps)
+        return stk
+
+    def _max_chunk_levels(self, batch: int) -> int:
+        """Per-dispatch level cap from the two observed TPU-worker crash
+        bounds (PERFORMANCE.md):
+
+        1. scan LENGTH: a single 358-level fused scan crashed at batch 1
+           (round 2) while <=128-level chunks run — cap at HELM_TPU_MAXC
+           (default 128) regardless of width.
+        2. queued WORK: AES batch 8 (128 levels x 2048 padded lanes =
+           262k lane-levels per dispatch) crashed where batch 6 (196k)
+           runs — cap chunk_levels x padded_lanes at
+           HELM_TPU_DISPATCH_LANES (default the known-good 196608 =
+           128 x 1536; round-4 spool runs bisect it further).
+        """
+        from ..batching import tile_for
+
+        maxc = int(os.environ.get("HELM_TPU_MAXC", "128"))
+        bound = int(os.environ.get("HELM_TPU_DISPATCH_LANES", "196608"))
+        S = max(
+            (lp.slot_in.shape[0] for lp in self.plan.levels),
+            default=1,
+        )
+        lw = max(1, batch) * max(S, 1)
+        if self.backend == "mxu":
+            gt = tile_for(self.params, lw)
+            lw = -(-lw // gt) * gt
+        return max(1, min(maxc, bound // lw))
+
+    def _chunks_for_batch(self, batch: int):
+        """Chunk the stacked levels into <= _max_chunk_levels(batch)-level
+        scans of EQUAL length (one compiled executable, ceil(L/C)
+        dispatches); the tail is padded with no-op levels whose every
+        destination is the trash wire."""
+        if self._scan_stacked is None:
+            return None
+        batch = max(1, int(batch))
+        cached = self._chunk_cache.get(batch)
+        if cached is not None:
+            return cached
+        stk = self._scan_stacked
+        trash = self.plan.num_wires - 1
+        MAXC = self._max_chunk_levels(batch)
+        L_tot = stk["slot_in"].shape[0]
         nch = -(-L_tot // MAXC)
         C = -(-L_tot // nch)
         pad_l = nch * C - L_tot
@@ -404,14 +444,26 @@ class BooleanEngine:
             noop_fill = {
                 "slot_dst": trash, "mux_dst": trash, "lin_dst": trash
             }
-            for k_, v in stk.items():
-                fill = noop_fill.get(k_, 0)
-                extra = np.full((pad_l,) + v.shape[1:], fill, v.dtype)
-                stk[k_] = np.concatenate([v, extra], axis=0)
-        return [
+            stk = {
+                k_: np.concatenate(
+                    [
+                        v,
+                        np.full(
+                            (pad_l,) + v.shape[1:],
+                            noop_fill.get(k_, 0),
+                            v.dtype,
+                        ),
+                    ],
+                    axis=0,
+                )
+                for k_, v in stk.items()
+            }
+        chunks = [
             {k: jnp.asarray(v[i * C : (i + 1) * C]) for k, v in stk.items()}
             for i in range(nch)
         ]
+        self._chunk_cache[batch] = chunks
+        return chunks
 
     # -- client role ---------------------------------------------------
     def _encode(self, v) -> np.ndarray:
@@ -505,7 +557,9 @@ class BooleanEngine:
             testv = (
                 self._testv_bank if self.mode == "lut" else self._testv_gates
             )
-            for chunk in self._scan_levels:
+            B = wires.shape[0] if wires.ndim == 3 else 1
+            chunks = self._chunks_for_batch(B)
+            for chunk in chunks:
                 wires = _scan_eval_step(
                     self.backend,
                     self._batch_shard,
@@ -518,7 +572,7 @@ class BooleanEngine:
             if verbose:
                 print(
                     f"  Evaluated all {len(self.plan.levels)} levels in"
-                    f" {len(self._scan_levels)} fused scan launch(es)"
+                    f" {len(chunks)} fused scan launch(es)"
                 )
             return wires
         total = len(self._dev_levels)
@@ -579,19 +633,22 @@ class BooleanEngine:
         pays one host dispatch total — the per-cycle latency win for
         small sequential circuits (s27, crc32) where per-level dispatch
         overhead dominates. Falls back to the evaluate() loop when the
-        total unrolled program would exceed the chunked-scan crash bound
-        (levels x cycles > 128 — see _stack_levels MAXC) or when the
-        circuit uses the READY protocol (host-side latch step per cycle).
+        total unrolled program would exceed the per-dispatch crash bound
+        (levels x cycles over _max_chunk_levels — both the scan-length
+        and queued-work caps) or when the circuit uses the READY
+        protocol (host-side latch step per cycle).
         """
         assert self.plan is not None
         n_lv = len(self.plan.levels)
-        if self.has_ready() or n_lv * cycles > 128:
+        B = wires.shape[0] if wires.ndim == 3 else 1
+        if self.has_ready() or n_lv * cycles > self._max_chunk_levels(B):
             for _ in range(cycles):
                 wires = self.evaluate(wires)
             return wires
-        # _stack_levels is pure (compile() stores its result separately);
-        # with n_lv <= 128 it returns exactly one chunk
-        chunks = self._scan_levels or self._stack_levels()
+        if self._scan_stacked is None:
+            self._scan_stacked = self._stack_levels()
+        # within the bound the chunker returns exactly one chunk
+        chunks = self._chunks_for_batch(B)
         testv = self._testv_bank if self.mode == "lut" else self._testv_gates
         return _scan_eval_cycles(
             self.backend,

@@ -86,6 +86,54 @@ def test_fused_counts_noop_pad_levels():
     assert cost == n_scan * ((-(-lw // gt) * gt) + OVERHEAD_LANES) / 64
 
 
+def test_dispatch_bound_auto_clamp(monkeypatch):
+    """Chunk length derives from BOTH crash bounds: the 128-level scan cap
+    and the queued-work cap chunk_levels x padded_lanes <= 196608 (the
+    known-good AES batch-6 point) — so wide batches get shorter scans
+    automatically instead of the fixed MAXC that let batch 8 crash."""
+    e = _engine(fuse=True)  # S=4 -> 128-lane tile at small batches
+    assert e._max_chunk_levels(1) == 128  # length cap binds
+    # batch 4096: 16384 padded lanes -> 196608//16384 = 12 levels max
+    assert e._max_chunk_levels(4096) == 12
+    monkeypatch.setenv("HELM_TPU_DISPATCH_LANES", "32768")
+    assert e._max_chunk_levels(4096) == 2
+    monkeypatch.setenv("HELM_TPU_MAXC", "64")
+    assert e._max_chunk_levels(1) == 64
+    monkeypatch.delenv("HELM_TPU_DISPATCH_LANES")
+    monkeypatch.delenv("HELM_TPU_MAXC")
+    # chunking respects the clamp and pads the tail with no-op levels
+    e._chunk_cache.clear()
+    chunks = e._chunks_for_batch(4096)
+    assert all(c["slot_in"].shape[0] <= 12 for c in chunks)
+    assert sum(c["slot_in"].shape[0] for c in chunks) >= len(e.plan.levels)
+
+
+def test_batch_chunking_matches_unfused(monkeypatch):
+    """Batch-dependent chunk splits are semantically invisible: a batch-3
+    fused evaluation forced into multiple tiny scan chunks decrypts to
+    the same outputs as the unfused engine."""
+    import numpy as np
+
+    nl = read_verilog_file("benchmarks/netlists/2-bit-adder.v")
+    rng = np.random.default_rng(5)
+    batch = [
+        {w: bool(rng.integers(0, 2)) for w in nl.inputs} for _ in range(3)
+    ]
+    e1 = BooleanEngine(
+        mode="gates", params=P.TEST_PARAMS, seed=9, fuse_levels=False
+    )
+    e1.compile(nl)
+    out1 = e1.decrypt_outputs(e1.evaluate(e1.encrypt_inputs(batch)))
+    monkeypatch.setenv("HELM_TPU_DISPATCH_LANES", "24")  # -> 2-level chunks
+    e2 = BooleanEngine(
+        mode="gates", params=P.TEST_PARAMS, seed=9, fuse_levels=True
+    )
+    e2.compile(nl)
+    assert e2._max_chunk_levels(3) == 2
+    out2 = e2.decrypt_outputs(e2.evaluate(e2.encrypt_inputs(batch)))
+    assert out1 == out2
+
+
 def test_real_slots_drive_fill():
     # pow2 slot padding counts as waste: real_slots < padded num_slots
     e = _engine(fuse=False)
