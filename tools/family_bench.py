@@ -154,6 +154,12 @@ for path, B, cycles in jobs:
     )
     pv = dt / (B or 1)
 
+    # serving-model prediction at this batch (helm_tpu/batching.py) so the
+    # measurement can be checked against the model in one place
+    from helm_tpu.batching import predicted_cost_per_vector
+
+    pred_lanes, pred_fill = predicted_cost_per_vector(e, B or 1)
+
     name = pathlib.Path(path).stem
     print(
         f"{name} steady-state: {dt:.3f}s"
@@ -188,6 +194,8 @@ for path, B, cycles in jobs:
                 "ref_bootstraps": rb["bootstraps"],
                 "vs_ref_floor": round(rb["infinite_core_floor_s"] / pv, 3),
                 "vs_ref_cores": round(rb["core_bound_s"] / pv, 3),
+                "pred_lanes_per_vector": round(pred_lanes, 1),
+                "pred_fill": round(pred_fill, 3),
             }
         ),
         flush=True,
