@@ -241,6 +241,18 @@ def _ready_step_lut(dsk, ready, new, valid, testv_and, delta):
     return outs[..., :k, :] + outs[..., k:, :]
 
 
+def _pad_noop_levels(stk: dict, pad_l: int, trash: int) -> dict:
+    """Append no-op levels (every destination = the trash wire)."""
+    noop_fill = {"slot_dst": trash, "mux_dst": trash, "lin_dst": trash}
+    return {
+        k: np.concatenate(
+            [v, np.full((pad_l,) + v.shape[1:], noop_fill.get(k, 0), v.dtype)],
+            axis=0,
+        )
+        for k, v in stk.items()
+    }
+
+
 class BooleanEngine:
     """Gates- or LUTs-mode encrypted circuit evaluator."""
 
@@ -363,13 +375,22 @@ class BooleanEngine:
         self._chunk_cache: dict[int, list] = {}
         self._scan_levels = self._chunks_for_batch(1) if fuse else None
 
-    def _stack_levels(self):
-        """Pad every level to uniform widths and stack for lax.scan."""
-        lps = self.plan.levels
+    def _stack_levels(self, lps=None, S=None):
+        """Pad levels to uniform widths and stack for lax.scan.
+
+        Defaults stack ALL plan levels at the global max slot width;
+        adaptive chunking passes a contiguous level subset with its own
+        (narrower) S — mux/lin widths stay global so chunk executables
+        differ only in (length, slot width)."""
+        all_lps = self.plan.levels
+        lps = all_lps if lps is None else lps
         trash = self.plan.num_wires - 1
-        S = max(max(lp.slot_in.shape[0] for lp in lps), self._min_slots, 1)
-        M = max(max(lp.mux_pairs.shape[0] for lp in lps), 1)
-        L = max(max(lp.lin_src.shape[0] for lp in lps), 1)
+        if S is None:
+            S = max(
+                max(lp.slot_in.shape[0] for lp in all_lps), self._min_slots, 1
+            )
+        M = max(max(lp.mux_pairs.shape[0] for lp in all_lps), 1)
+        L = max(max(lp.lin_src.shape[0] for lp in all_lps), 1)
 
         def pad(a, n, fill):
             if a.shape[0] == n:
@@ -433,6 +454,13 @@ class BooleanEngine:
         cached = self._chunk_cache.get(batch)
         if cached is not None:
             return cached
+        if (
+            os.environ.get("HELM_TPU_ADAPTIVE_CHUNKS") == "1"
+            and self.backend == "mxu"
+        ):
+            chunks = self._adaptive_chunks(batch)
+            self._chunk_cache[batch] = chunks
+            return chunks
         stk = self._scan_stacked
         trash = self.plan.num_wires - 1
         MAXC = self._max_chunk_levels(batch)
@@ -441,28 +469,77 @@ class BooleanEngine:
         C = -(-L_tot // nch)
         pad_l = nch * C - L_tot
         if pad_l:
-            noop_fill = {
-                "slot_dst": trash, "mux_dst": trash, "lin_dst": trash
-            }
-            stk = {
-                k_: np.concatenate(
-                    [
-                        v,
-                        np.full(
-                            (pad_l,) + v.shape[1:],
-                            noop_fill.get(k_, 0),
-                            v.dtype,
-                        ),
-                    ],
-                    axis=0,
-                )
-                for k_, v in stk.items()
-            }
+            stk = _pad_noop_levels(stk, pad_l, trash)
         chunks = [
             {k: jnp.asarray(v[i * C : (i + 1) * C]) for k, v in stk.items()}
             for i in range(nch)
         ]
         self._chunk_cache[batch] = chunks
+        return chunks
+
+    def _adaptive_chunks(self, batch: int):
+        """Width-adaptive contiguous chunking (HELM_TPU_ADAPTIVE_CHUNKS=1,
+        mxu backend): instead of padding every level to the global max
+        slot width, partition the level sequence by dynamic programming
+        minimizing total tile-rounded lanes + a per-chunk dispatch cost
+        (HELM_TPU_CHUNK_LAMBDA lanes, default 1024), under the same two
+        per-dispatch crash bounds as the uniform path. AES-128's level
+        widths (199 of <=128, 123 of 256, ...) make uniform padding waste
+        ~35% of launched lanes; run-aligned chunks recover most of it at
+        the cost of more (deduplicated) chunk shapes to compile and more
+        dispatches. Mux/lin widths stay global so executables differ only
+        in (length, slot width)."""
+        from ..batching import tile_for
+
+        lps = self.plan.levels
+        w = [max(lp.slot_in.shape[0], self._min_slots, 1) for lp in lps]
+        B = max(1, int(batch))
+        maxc = int(os.environ.get("HELM_TPU_MAXC", "128"))
+        bound = int(os.environ.get("HELM_TPU_DISPATCH_LANES", "196608"))
+        lam = int(os.environ.get("HELM_TPU_CHUNK_LAMBDA", "1024"))
+        # boundaries snap to multiples of QUANT (default 4): chunk lengths
+        # then come from a small set, keeping the number of distinct
+        # (length, width) executables — each a separate ~2.5 min remote
+        # Mosaic compile — bounded, with NO no-op padding inside chunks
+        quant = max(1, int(os.environ.get("HELM_TPU_CHUNK_QUANT", "4")))
+        Lt = len(lps)
+        pos = list(range(0, Lt, quant))
+        if pos[-1] != Lt:
+            pos.append(Lt)
+        INF = float("inf")
+        npos = len(pos)
+        dp = [0.0] + [INF] * (npos - 1)
+        prev = [0] * npos
+        for ii in range(1, npos):
+            i = pos[ii]
+            mw = 0
+            for jj in range(ii - 1, -1, -1):
+                j = pos[jj]
+                c = i - j
+                if c > maxc:
+                    break
+                mw = max(mw, max(w[j : pos[jj + 1]]))
+                lw = B * mw
+                gt = tile_for(self.params, lw)
+                lanes = -(-lw // gt) * gt
+                if c * lanes > bound and jj < ii - 1:
+                    break  # c*lanes is nondecreasing as c grows
+                cost = dp[jj] + c * lanes + lam
+                if cost < dp[ii]:
+                    dp[ii] = cost
+                    prev[ii] = jj
+        segs = []
+        ii = npos - 1
+        while ii > 0:
+            jj = prev[ii]
+            segs.append((pos[jj], pos[ii]))
+            ii = jj
+        segs.reverse()
+        chunks = []
+        for j, i in segs:
+            S = max(max(w[j:i]), 1)
+            stk = self._stack_levels(lps[j:i], S=S)
+            chunks.append({k: jnp.asarray(v) for k, v in stk.items()})
         return chunks
 
     # -- client role ---------------------------------------------------

@@ -134,6 +134,45 @@ def test_batch_chunking_matches_unfused(monkeypatch):
     assert out1 == out2
 
 
+def test_adaptive_chunks_match_uniform(monkeypatch):
+    """HELM_TPU_ADAPTIVE_CHUNKS=1: width-adaptive scan chunks decrypt to
+    the same outputs as uniform-width fusion, with at least one chunk
+    narrower than the global max width. At small batches the 128-lane
+    tile floor makes narrow widths free and the DP correctly keeps one
+    chunk; a wide batch differentiates the widths (2-bit adder: the
+    4-slot level vs the 1-2-slot levels)."""
+    import numpy as np
+
+    nl = read_verilog_file("benchmarks/netlists/2-bit-adder.v")
+    rng = np.random.default_rng(8)
+    B = 48
+    batch = [
+        {w: bool(rng.integers(0, 2)) for w in nl.inputs} for _ in range(B)
+    ]
+    e1 = BooleanEngine(
+        mode="gates", params=P.TEST_PARAMS_MB, seed=6, backend="mxu",
+        fuse_levels=True,
+    )
+    e1.compile(nl)
+    out1 = e1.decrypt_outputs(e1.evaluate(e1.encrypt_inputs(batch)))
+    monkeypatch.setenv("HELM_TPU_ADAPTIVE_CHUNKS", "1")
+    monkeypatch.setenv("HELM_TPU_CHUNK_LAMBDA", "1")
+    e2 = BooleanEngine(
+        mode="gates", params=P.TEST_PARAMS_MB, seed=6, backend="mxu",
+        fuse_levels=True,
+    )
+    e2.compile(nl)
+    out2 = e2.decrypt_outputs(e2.evaluate(e2.encrypt_inputs(batch)))
+    assert out1 == out2
+    chunks = e2._chunk_cache[B]
+    widths = {c["slot_in"].shape[1] for c in chunks}
+    glob = max(lp.slot_in.shape[0] for lp in e2.plan.levels)
+    assert len(chunks) > 1 and min(widths) < glob
+    # every level is covered exactly once, in order (chunk lengths are
+    # quantized with no-op tail levels, so the sum may exceed the count)
+    assert sum(c["slot_in"].shape[0] for c in chunks) >= len(e2.plan.levels)
+
+
 def test_real_slots_drive_fill():
     # pow2 slot padding counts as waste: real_slots < padded num_slots
     e = _engine(fuse=False)
