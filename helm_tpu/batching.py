@@ -90,15 +90,28 @@ def suggest_batch(engine, max_batch: int = 16) -> tuple[int, list[dict]]:
     """Best batch in 1..max_batch by padded-lanes-per-vector, with the
     full table (batch, fill, cost) for logging. Ties prefer the larger
     batch (per-level fixed overhead — rotation tables, monomial NTTs,
-    dispatch — splits across more vectors)."""
+    dispatch — splits across more vectors).
+
+    Measured hard cap (AES-128 serving curve, round 4: 32.89 s/block at
+    batch 4 vs 41.45/43.04/40.89 at 6/8/12): launches beyond TWO full
+    512-lane tiles pay ~25% more per tile and the curve plateaus WORSE —
+    so fused-path suggestions never exceed the largest batch whose
+    per-level launch fits 2 tiles. Serving more vectors than that is
+    better done as multiple evaluations at the capped batch."""
+    widths, _ = _launch_widths(engine)
+    max_w = max((w for w in widths if w), default=1)
+    cap = max_batch
+    if engine.backend == "mxu" and getattr(engine, "_scan_levels", None) is not None:
+        cap = min(max_batch, max(1, (2 * 512) // max_w))
     table = []
     for b in range(1, max(1, max_batch) + 1):
         cost, fill = predicted_cost_per_vector(engine, b)
         table.append({"batch": b, "fill": round(fill, 3),
                       "lanes_per_vector": round(cost, 1)})
-    min_cost = min(t["lanes_per_vector"] for t in table)
+    eligible = [t for t in table if t["batch"] <= cap] or table
+    min_cost = min(t["lanes_per_vector"] for t in eligible)
     best = max(
-        t["batch"] for t in table
+        t["batch"] for t in eligible
         if t["lanes_per_vector"] <= min_cost * 1.02
     )
     return best, table

@@ -12,6 +12,21 @@ import os
 # tunneled TPU during tests.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
+
+# Private per-session persistent-compilation-cache dir. Some tests run
+# entry points that call enable_compile_cache() in-process (serve.py),
+# which would otherwise point THIS process — and every later test — at
+# the repo-level .jax_cache shared with concurrently-running TPU spool /
+# bench processes. A full-suite run segfaulted inside the cache's native
+# read path (compilation_cache.get_executable_and_time) with that
+# sharing in place; a throwaway dir keeps the cache code exercised
+# without cross-process traffic. Subprocess children inherit it.
+if "HELM_TPU_COMPILE_CACHE" not in os.environ:
+    import tempfile
+
+    os.environ["HELM_TPU_COMPILE_CACHE"] = tempfile.mkdtemp(
+        prefix="helm_tpu_test_jax_cache_"
+    )
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
