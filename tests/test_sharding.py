@@ -1,14 +1,38 @@
-"""Multi-chip gate sharding on the virtual 8-device CPU mesh."""
+"""Multi-chip gate sharding on the virtual 8-device CPU mesh.
+
+Each mesh-compiling case runs in a FRESH subprocess
+(tests/_sharding_worker.py): three full-suite runs segfaulted inside
+XLA:CPU's native `backend_compile_and_load` on exactly these compiles
+when they executed ~30-45 min into a long-lived pytest process
+(faulthandler-pinned, round 4; a private compilation-cache dir did not
+prevent it), while every case passes clean in a fresh process every
+time. Subprocess isolation keeps the coverage and removes the
+suite-killing crash; see PERFORMANCE.md "Crash mechanisms".
+"""
+
+import os
+import subprocess
+import sys
 
 import jax
-import numpy as np
 import pytest
 
-from helm_tpu import params as P
-from helm_tpu.circuit.graph import Circuit
-from helm_tpu.circuit.verilog import read_verilog_file
-from helm_tpu.engines.boolean import BooleanEngine
-from helm_tpu.parallel.mesh import shard_engine
+_WORKER = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "_sharding_worker.py"
+)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_case(case: str, timeout: float = 1200) -> None:
+    res = subprocess.run(
+        [sys.executable, _WORKER, case],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=_REPO,
+    )
+    assert res.returncode == 0, (res.stdout, res.stderr)
+    assert f"SHARDING_CASE_OK {case}" in res.stdout
 
 
 def test_virtual_mesh_available():
@@ -16,99 +40,34 @@ def test_virtual_mesh_available():
 
 
 def test_sharded_adder_matches_oracle():
-    nl = read_verilog_file("benchmarks/netlists/8-bit-adder.v")
-    e = BooleanEngine(mode="gates", params=P.TEST_PARAMS, seed=77)
-    mesh = shard_engine(e, 8)
-    assert mesh.size == 8
-    e.compile(nl)
-    a, b, cin = 173, 201, 1
-    inputs = {f"a[{i}]": bool(a >> i & 1) for i in range(8)}
-    inputs |= {f"b[{i}]": bool(b >> i & 1) for i in range(8)}
-    inputs["cin"] = bool(cin)
-    wires = e.evaluate(e.encrypt_inputs(inputs))
-    out = e.decrypt_outputs(wires)
-    got = sum(int(out[f"sum[{i}]"]) << i for i in range(8)) + (int(out["cout"]) << 8)
-    assert got == a + b + cin
-    # cross-check every wire against the oracle
-    c = Circuit.from_netlist(read_verilog_file("benchmarks/netlists/8-bit-adder.v"))
-    exp = c.evaluate(c.initialize_wire_map(nl.wire_set, inputs))
-    dec = e.decrypt_all_wires(wires)
-    for w, v in exp.items():
-        assert dec[w] == v, w
+    """8-device GSPMD gate sharding vs the oracle on every wire."""
+    _run_case("sharded_adder_matches_oracle")
 
 
 def test_sharded_matches_unsharded():
-    nl = read_verilog_file("benchmarks/netlists/2-bit-adder.v")
-    inputs = {"a[0]": True, "a[1]": False, "b[0]": True, "b[1]": True, "cin": False}
-    e1 = BooleanEngine(mode="gates", params=P.TEST_PARAMS, seed=13)
-    e1.compile(nl)
-    out1 = e1.decrypt_outputs(e1.evaluate(e1.encrypt_inputs(inputs)))
-    e2 = BooleanEngine(mode="gates", params=P.TEST_PARAMS, seed=13)
-    shard_engine(e2, 4)
-    e2.compile(nl)
-    out2 = e2.decrypt_outputs(e2.evaluate(e2.encrypt_inputs(inputs)))
-    assert out1 == out2
+    _run_case("sharded_matches_unsharded")
 
 
 @pytest.mark.parametrize(
-    "pset", [P.TEST_PARAMS, P.TEST_PARAMS_MB], ids=["single-bit", "multi-bit"]
+    "case",
+    ["sharded_mxu_single_bit", "sharded_mxu_multi_bit"],
+    ids=["single-bit", "multi-bit"],
 )
-def test_sharded_mxu_kernel_matches_unsharded(pset):
+def test_sharded_mxu_kernel_matches_unsharded(case):
     """Fused-kernel gate sharding: shard_map runs one Pallas kernel per
     device on its slice of the PBS batch (keys replicated)."""
-    nl = read_verilog_file("benchmarks/netlists/2-bit-adder.v")
-    inputs = {"a[0]": True, "a[1]": False, "b[0]": True, "b[1]": True, "cin": False}
-    e1 = BooleanEngine(mode="gates", params=pset, seed=13, backend="mxu")
-    e1.compile(nl)
-    out1 = e1.decrypt_outputs(e1.evaluate(e1.encrypt_inputs(inputs)))
-    e2 = BooleanEngine(mode="gates", params=pset, seed=13, backend="mxu")
-    shard_engine(e2, 4)
-    e2.compile(nl)
-    out2 = e2.decrypt_outputs(e2.evaluate(e2.encrypt_inputs(inputs)))
-    assert out1 == out2
+    _run_case(case)
 
 
 def test_sharded_mxu_fused_levels():
     """Sharded kernel + whole-circuit lax.scan fusion in one program."""
-    nl = read_verilog_file("benchmarks/netlists/2-bit-adder.v")
-    inputs = {"a[0]": False, "a[1]": True, "b[0]": True, "b[1]": False, "cin": True}
-    e1 = BooleanEngine(mode="gates", params=P.TEST_PARAMS_MB, seed=5)
-    e1.compile(nl)
-    out1 = e1.decrypt_outputs(e1.evaluate(e1.encrypt_inputs(inputs)))
-    e2 = BooleanEngine(
-        mode="gates", params=P.TEST_PARAMS_MB, seed=5, backend="mxu",
-        fuse_levels=True,
-    )
-    shard_engine(e2, 8)
-    e2.compile(nl)
-    out2 = e2.decrypt_outputs(e2.evaluate(e2.encrypt_inputs(inputs)))
-    assert out1 == out2
+    _run_case("sharded_mxu_fused_levels")
 
 
 def test_sharded_arith_matches_oracle():
-    """Runs in a FRESH subprocess (tests/_sharded_arith_worker.py): the
-    suite's heaviest mesh compile twice segfaulted XLA:CPU's native
-    backend_compile_and_load when run ~45 min into the full suite
-    (accumulated compiler state — faulthandler-pinned, round 4) while
-    passing clean in a fresh process every time. Subprocess isolation
-    keeps the coverage without the suite-killing crash; see
-    PERFORMANCE.md "Crash mechanisms"."""
-    import os
-    import subprocess
-    import sys
-
-    worker = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "_sharded_arith_worker.py"
-    )
-    res = subprocess.run(
-        [sys.executable, worker],
-        capture_output=True,
-        text=True,
-        timeout=1200,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    )
-    assert res.returncode == 0, (res.stdout, res.stderr)
-    assert "SHARDED_ARITH_OK" in res.stdout
+    """Dataflow radix scheduler with every PBS batch sharded on the
+    gate axis, vs the arith oracle."""
+    _run_case("sharded_arith_matches_oracle")
 
 
 def test_multihost_flag_parsing():
