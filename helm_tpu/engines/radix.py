@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -124,18 +126,40 @@ def _bootstrap_multi(dsk, pres: list, tvs: list):
         tv = jnp.concatenate(
             [tv, jnp.broadcast_to(tv[:1], (pad, tv.shape[1]))]
         )
-    LAUNCHES[0] += 1
     SLOTS[0] += bucket
-    if BATCH_SHARD[0] is not None:
-        out = _bootstrap_sharded(BATCH_SHARD[0], dsk, pre, tv)
-    elif BACKEND[0] == "mxu":
-        from ..ops.mxu_pbs import bootstrap_mxu_aot
 
-        out = bootstrap_mxu_aot(
-            dsk, pre, tv, interpret=jax.default_backend() == "cpu"
+    def _launch(p_, t_):
+        LAUNCHES[0] += 1
+        if BATCH_SHARD[0] is not None:
+            return _bootstrap_sharded(BATCH_SHARD[0], dsk, p_, t_)
+        if BACKEND[0] == "mxu":
+            from ..ops.mxu_pbs import bootstrap_mxu_aot
+
+            return bootstrap_mxu_aot(
+                dsk, p_, t_, interpret=jax.default_backend() == "cpu"
+            )
+        return _bootstrap_jit(dsk, p_, t_)
+
+    # per-launch width cap: mmult15 (ARITH_128_MB2) crashed the TPU
+    # worker while compiling one giant merged launch — the arith analog
+    # of the fused-scan dispatch bound (PERFORMANCE.md crash mechanisms).
+    # Oversized batches split into equal power-of-two sub-launches that
+    # all reuse ONE compiled executable (also avoiding a fresh multi-
+    # minute compile per giant shape). HELM_TPU_MAX_G overrides.
+    cap = int(
+        os.environ.get(
+            "HELM_TPU_MAX_G", "2048" if dsk.params.N >= 2048 else "4096"
+        )
+    )
+    if bucket > cap:
+        out = jnp.concatenate(
+            [
+                _launch(pre[i : i + cap], tv[i : i + cap])
+                for i in range(0, bucket, cap)
+            ]
         )
     else:
-        out = _bootstrap_jit(dsk, pre, tv)
+        out = _launch(pre, tv)
     res, off = [], 0
     for s in sizes:
         res.append(out[off : off + s])

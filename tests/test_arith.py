@@ -50,6 +50,34 @@ def test_radix_primitives(engine_u8):
         assert e._decrypt_value(np.asarray(mul[i])) == (xs[i] * ys[i]) % 256
 
 
+def test_bootstrap_multi_width_cap(engine_u8, monkeypatch):
+    """Oversized merged launches split into capped sub-launches that are
+    bit-identical to the single launch (the arith analog of the fused-
+    scan dispatch bound — mmult15 crashed the TPU worker compiling one
+    giant launch; PERFORMANCE.md crash mechanisms)."""
+    from helm_tpu.engines import radix
+
+    e = engine_u8
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 256, 16)
+    pres = [jnp.asarray(np.stack([e._encrypt_value(int(v)) for v in vals]))
+            .reshape(-1, e.params.n + 1)]
+    tv = jnp.asarray(
+        radix.pbs_jnp.lut_test_poly(
+            e.params,
+            np.arange(e.params.msg_space // 2, dtype=np.uint64)
+            % (1 << e.params.message_bits),
+        )
+    )[None, :]
+    tvs = [tv]
+    big = radix._bootstrap_multi(e.dsk, pres, tvs)[0]
+    monkeypatch.setenv("HELM_TPU_MAX_G", "8")
+    n0 = radix.LAUNCHES[0]
+    small = radix._bootstrap_multi(e.dsk, pres, tvs)[0]
+    assert radix.LAUNCHES[0] - n0 > 1  # split into several sub-launches
+    np.testing.assert_array_equal(np.asarray(big), np.asarray(small))
+
+
 def test_radix_mul_plain(engine_u8):
     import jax.numpy as jnp
 
