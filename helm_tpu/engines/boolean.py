@@ -454,11 +454,17 @@ class BooleanEngine:
         cached = self._chunk_cache.get(batch)
         if cached is not None:
             return cached
-        if (
-            os.environ.get("HELM_TPU_ADAPTIVE_CHUNKS") == "1"
-            and self.backend == "mxu"
-        ):
-            chunks = self._adaptive_chunks(batch)
+        if self.backend == "mxu" and self._use_adaptive(batch):
+            segs, _ = self._adaptive_segments(batch)
+            lps = self.plan.levels
+            w = [max(lp.slot_in.shape[0], self._min_slots, 1) for lp in lps]
+            chunks = []
+            for j, i in segs:
+                S = max(max(w[j:i]), 1)
+                stk_c = self._stack_levels(lps[j:i], S=S)
+                chunks.append(
+                    {k: jnp.asarray(v) for k, v in stk_c.items()}
+                )
             self._chunk_cache[batch] = chunks
             return chunks
         stk = self._scan_stacked
@@ -477,18 +483,43 @@ class BooleanEngine:
         self._chunk_cache[batch] = chunks
         return chunks
 
-    def _adaptive_chunks(self, batch: int):
-        """Width-adaptive contiguous chunking (HELM_TPU_ADAPTIVE_CHUNKS=1,
-        mxu backend): instead of padding every level to the global max
-        slot width, partition the level sequence by dynamic programming
-        minimizing total tile-rounded lanes + a per-chunk dispatch cost
+    def _use_adaptive(self, batch: int) -> bool:
+        """Adaptive chunking policy: HELM_TPU_ADAPTIVE_CHUNKS=1 forces on,
+        =0 forces off; unset AUTO-enables when the DP predicts >=10%
+        fewer launched kernel lanes than uniform-width chunking.
+        Measured (round 4): AES-128 batch 12 dropped 40.89 -> 26.68
+        s/block (and beat the previous batch-4 best, 32.89) with 7 chunk
+        executables — the model's 0.77x lane prediction was conservative."""
+        env = os.environ.get("HELM_TPU_ADAPTIVE_CHUNKS")
+        if env == "1":
+            return True
+        if env == "0":
+            return False
+        from ..batching import tile_for
+
+        lps = self.plan.levels
+        w = [max(lp.slot_in.shape[0], self._min_slots, 1) for lp in lps]
+        B = max(1, int(batch))
+        uniform = 0
+        S = max(w)
+        lw = B * S
+        gt = tile_for(self.params, lw)
+        uniform = len(lps) * (-(-lw // gt) * gt)
+        _, cost = self._adaptive_segments(batch)
+        return cost < 0.9 * uniform
+
+    def _adaptive_segments(self, batch: int):
+        """Width-adaptive contiguous chunking (see _use_adaptive): instead
+        of padding every level to the global max slot width, partition the
+        level sequence by dynamic programming minimizing total
+        tile-rounded lanes + a per-chunk dispatch cost
         (HELM_TPU_CHUNK_LAMBDA lanes, default 1024), under the same two
         per-dispatch crash bounds as the uniform path. AES-128's level
         widths (199 of <=128, 123 of 256, ...) make uniform padding waste
         ~35% of launched lanes; run-aligned chunks recover most of it at
         the cost of more (deduplicated) chunk shapes to compile and more
         dispatches. Mux/lin widths stay global so executables differ only
-        in (length, slot width)."""
+        in (length, slot width). Returns ([(start, end)], total_cost)."""
         from ..batching import tile_for
 
         lps = self.plan.levels
@@ -535,12 +566,7 @@ class BooleanEngine:
             segs.append((pos[jj], pos[ii]))
             ii = jj
         segs.reverse()
-        chunks = []
-        for j, i in segs:
-            S = max(max(w[j:i]), 1)
-            stk = self._stack_levels(lps[j:i], S=S)
-            chunks.append({k: jnp.asarray(v) for k, v in stk.items()})
-        return chunks
+        return segs, dp[npos - 1]
 
     # -- client role ---------------------------------------------------
     def _encode(self, v) -> np.ndarray:
