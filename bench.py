@@ -63,6 +63,107 @@ def _probe_backend() -> bool:
     return False
 
 
+def _capture_conditions(wait_s: float = 900.0) -> dict:
+    """Detect (and try to avoid) concurrent TPU/CPU load during capture.
+
+    The round-4 driver capture (2959.88 bs/s) regressed ~10% below a
+    same-day controlled capture (3280.04) with nothing in the artifact
+    identifying why. The known contention source is the measurement spool
+    runner (tools/tpu_spool.sh — shares the single TPU chip and the 4
+    vCPUs): if it is live with work queued/running, wait up to `wait_s`
+    for it to drain, then record whatever is still running in the
+    artifact so every number carries its capture conditions."""
+    base = os.path.dirname(os.path.abspath(__file__))
+    spool = os.path.join(base, "tools", "queue_spool")
+    pidf = os.path.join(spool, ".runner.pid")
+
+    def _runner_alive() -> bool:
+        try:
+            with open(pidf) as f:
+                pid = int(f.read().strip())
+            os.kill(pid, 0)
+            return True
+        except Exception:
+            return False
+
+    def _spool_busy() -> bool:
+        try:
+            queued = [n for n in os.listdir(spool) if n.endswith(".sh")]
+        except OSError:
+            queued = []
+        return _runner_alive() and bool(queued)
+
+    def _runner_is_ancestor() -> bool:
+        # when bench itself is a spool item, the still-queued item is us —
+        # waiting would deadlock for the full timeout
+        try:
+            with open(pidf) as f:
+                rpid = int(f.read().strip())
+        except Exception:
+            return False
+        pid = os.getpid()
+        for _ in range(30):
+            if pid == rpid:
+                return True
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    pid = int(f.read().split(")")[-1].split()[1])
+            except (OSError, ValueError, IndexError):
+                return False
+            if pid <= 1:
+                return False
+        return False
+
+    if _runner_is_ancestor():
+        wait_s = 0.0
+    waited = 0.0
+    while _spool_busy() and waited < wait_s:
+        if waited == 0.0:
+            print(
+                "[bench] spool runner busy — waiting for the queue to "
+                f"drain (up to {wait_s:.0f}s)",
+                file=sys.stderr,
+            )
+        time.sleep(15)
+        waited += 15.0
+    # other python processes competing for the 4 vCPUs / the chip
+    others = []
+    me = os.getpid()
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().replace(b"\0", b" ").decode(errors="replace").strip()
+            except OSError:
+                continue
+            first = cmd.split(" ", 1)[0]
+            if (
+                ("python" in first or first in ("timeout", "env"))
+                and "python" in cmd
+                and any(k in cmd for k in ("helm_tpu", "tools/", "pytest", "bench"))
+            ):
+                others.append(cmd[:120])
+    except OSError:
+        pass
+    others = others[:8]
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    cond = {
+        "spool_runner_live": _runner_alive(),
+        "spool_busy": _spool_busy(),
+        "waited_for_spool_s": round(waited, 1),
+        "concurrent_python": others,
+        "load_avg_1m": load1,
+    }
+    if cond["spool_busy"] or others:
+        print(f"[bench] CONTENTION at capture: {cond}", file=sys.stderr)
+    return cond
+
+
 def _fail_with_stale(reason: str) -> int:
     out = {
         "metric": "gate_bootstraps_per_sec_per_chip",
@@ -103,7 +204,7 @@ def _bench_circuit_latency(p, ck, sk, backend):
     wires = eng.evaluate(eng.encrypt_inputs(inputs))
     np.asarray(wires)  # compile + warmup
     times = []
-    for _ in range(3):
+    for _ in range(5):
         w0 = eng.encrypt_inputs(inputs)
         t0 = time.perf_counter()
         w0 = eng.evaluate(w0)
@@ -138,6 +239,10 @@ def main():
     # axon init otherwise stalls the whole bench run for its full timeout
     if not _probe_backend():
         return _fail_with_stale("TPU backend unreachable after retries")
+
+    # serialize with (or at least record) concurrent measurement load —
+    # BENCH_WAIT_IDLE=0 disables the wait, conditions are always recorded
+    cond = _capture_conditions(float(os.environ.get("BENCH_WAIT_IDLE", "900")))
 
     import numpy as np
 
@@ -250,7 +355,12 @@ def main():
     if os.environ.get("BENCH_CIRCUIT", "1") != "0":
         try:
             _bench_circuit_latency(p, ck, sk, backend)
-        except Exception as e:  # never let the second metric sink the first
+        except AssertionError:
+            # an ORACLE failure means we are benchmarking wrong outputs —
+            # that must sink the whole run, not print a healthy headline
+            # (round-4 verdict, weak item 7a)
+            raise
+        except Exception as e:  # infrastructure-only shield for metric 2
             print(f"[bench] circuit metric failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
@@ -262,6 +372,7 @@ def main():
         "vs_baseline": round(value / HELM_CPU_BASELINE_BS_PER_SEC, 3),
         "median_of": nwin,
         "windows": [round(r, 1) for r in rates],
+        "capture": cond,
     }
     try:  # persist for the stale-fallback path; never let this fail a run
         with open(LAST_PATH, "w") as f:

@@ -1,17 +1,41 @@
-"""Tile-quantization-aware batch selection for serving.
+"""Serving batch selection from the engine's ACTUAL chunking policy.
 
 The fused MXU kernels process PBS slots in lane tiles (g_tile lanes; 512
-at N<=512, narrower for larger rings — ops/mxu_pbs.py bootstrap_mxu).
-A level's launch width is batch x its padded slot count, rounded UP to a
-multiple of the tile — dead lanes do full blind-rotation work. Measured
-consequence (PERFORMANCE.md round 3): AES-128 batch 6 is SLOWER per block
-than batch 4 because ~700 slots/level spill into a second 512-lane tile
-at ~68% fill, while batch 4 fills one tile at ~91%. The efficient batch
-points land just UNDER a multiple of the tile, not "bigger is better".
+at N<=512, narrower for larger rings — ops/mxu_pbs.py bootstrap_mxu). A
+level's launch width is batch x its padded slot count, rounded UP to a
+multiple of the tile — dead lanes do full blind-rotation work.
 
-This module encodes that model so serving chooses efficient shapes
-automatically (serve.py `--batch auto`) and warns when a requested batch
-underfills its tiles (<75%).
+Model v3 (round 5): costs are computed from the launch shapes the engine
+will REALLY use at batch B — width-adaptive chunking segments when the
+engine's policy enables them (engines/boolean.py _use_adaptive), uniform
+max-width chunks otherwise — not from the batch-1 uniform shapes. Two
+calibrated terms ride on the lane counts:
+
+- OVERHEAD_LANES per launch (rotation tables, monomial NTT setup,
+  scan-step dispatch), calibrated on the measured uniform AES-128 fused
+  batch curve 65.41/40.60/32.89 s/block at batch 1/2/4 (fits within 2%).
+- tile_penalty() for launches spanning >= 3 tiles: the measured uniform
+  AES curve at batch 6/8/12 (41.45/43.04/40.89 s/block) implies every
+  lane of a 3-tile launch costs ~1.56x a <=2-tile lane and ~1.70x at
+  >= 4 tiles (equivalently the per-TILE per-level cost series
+  184/232/240/228 ms at 2/3/4/6 tiles, PERFORMANCE.md round 4) —
+  something superlinear (VMEM/pipeline pressure across the grid) in
+  wide launches. Encoded as a multiplier instead of round 4's hard
+  2-tile batch cap, so the optimizer sees the true cost and can still
+  pick a wide batch when adaptive chunking's narrower segments win it
+  back.
+
+Fit vs every measured AES-128 point (GATES_128_K3, fused):
+uniform batch 1/2/4/6/8/12 = 65.41/40.60/32.89/41.45/43.04/40.89
+s/block predict within 8% (1/6/8/12 within 1%); the one ADAPTIVE
+measurement (batch 12 = 26.68 s/block, beating the round-4 capped
+batch-4 "best" by 19%) runs 18% BETTER than this model predicts —
+the >=3-tile penalty calibrated on uniform chunking overcharges
+adaptive segments. The round-5 spool measures adaptive batch 4/16 to
+discriminate; until then the model is documented as conservative for
+adaptive shapes.
+
+serve.py `--batch auto` and underfill warnings ride this model.
 """
 
 from __future__ import annotations
@@ -19,6 +43,23 @@ from __future__ import annotations
 from .params import TfheParams
 
 UNDERFILL_WARN = 0.75
+
+#: per-launch fixed overhead in lane-equivalents — see module docstring
+OVERHEAD_LANES = 512
+
+def tile_penalty(tiles: int) -> float:
+    """Per-lane cost multiplier by launch width in 512-lane tiles.
+
+    Calibrated on the measured uniform AES-128 batch curve (module
+    docstring): batch 6 (3 tiles) implies 1.56, batches 8 and 12 (4 and
+    6 tiles) imply 1.71 and 1.69. The mechanism is unconfirmed (c7552
+    batch discriminator queued); the table is measured behavior, not a
+    theory."""
+    if tiles <= 2:
+        return 1.0
+    if tiles == 3:
+        return 1.56
+    return 1.70
 
 
 def tile_for(params: TfheParams, width: int, interpret: bool = False) -> int:
@@ -34,84 +75,86 @@ def tile_for(params: TfheParams, width: int, interpret: bool = False) -> int:
     return min(base, max(128, gb))
 
 
-#: per-level-launch fixed overhead in lane-equivalents (rotation tables,
-#: monomial NTT setup, scan-step dispatch). Calibrated on the measured
-#: AES-128 fused batch curve at GATES_128_K3 (65.41/40.60/32.89 s/block
-#: at batch 1/2/4): cost ~ (B*S_launch + OVERHEAD)/B reproduces all three
-#: points within 2%. This term is what batching amortizes on circuits
-#: whose launch widths are already tile-aligned.
-OVERHEAD_LANES = 512
+def _policy_launch_widths(engine, batch: int) -> tuple[list[int], list[int]]:
+    """(per-launch padded slot widths, per-launch REAL slot counts) under
+    the engine's chunking policy at `batch`.
 
-
-def _launch_widths(engine) -> tuple[list[int], list[int]]:
-    """(per-launch padded slot widths, per-launch REAL slot counts).
-
-    Fused scans pad every level to the max width and append no-op levels
-    to equalize chunks — all of which launch at full width but carry only
-    the underlying level's real slots (0 for the no-op pads)."""
+    - per-level dispatch (no fused scan): each level launches at its own
+      padded width.
+    - fused + width-adaptive (engines/boolean.py _adaptive_segments):
+      each level launches at its SEGMENT's max width.
+    - fused uniform: every level at the global max width, plus no-op pad
+      levels (0 real slots) equalizing the scan chunks.
+    """
     lps = engine.plan.levels
-    widths = [lp.slot_in.shape[0] for lp in lps]
     reals = [lp.real_slots for lp in lps]
-    if engine._scan_levels is not None:
-        S = engine._scan_levels[0]["slot_in"].shape[1]
-        n_scan = sum(c["slot_in"].shape[0] for c in engine._scan_levels)
-        reals = reals + [0] * (n_scan - len(lps))
-        return [S] * n_scan, reals
-    return widths, reals
+    if getattr(engine, "_scan_stacked", None) is None:
+        return [lp.slot_in.shape[0] for lp in lps], reals
+    mn = getattr(engine, "_min_slots", 1)
+    w = [max(lp.slot_in.shape[0], mn, 1) for lp in lps]
+    B = max(1, int(batch))
+    if engine.backend == "mxu" and engine._use_adaptive(B):
+        segs, _ = engine._adaptive_segments(B)
+        widths: list[int] = []
+        for j, i in segs:
+            S = max(w[j:i])
+            widths.extend([S] * (i - j))
+        return widths, reals
+    S = max(w)
+    maxc = engine._max_chunk_levels(B)
+    L = len(lps)
+    nch = -(-L // maxc)
+    C = -(-L // nch)
+    total = nch * C
+    return [S] * total, reals + [0] * (total - L)
 
 
 def predicted_cost_per_vector(engine, batch: int) -> tuple[float, float]:
     """(lane-equivalents per vector, aggregate tile fill) at `batch`.
 
-    Cost counts tile-rounded lanes (dead lanes do full PBS work) plus the
-    calibrated per-launch OVERHEAD_LANES; fill is the fraction of
-    launched lanes that carry REAL gate slots (pow2 slot padding and tile
-    rounding both count as waste). Only the mxu backend has lane tiles —
-    other backends report fill 1.0 and cost without tile rounding."""
+    Cost counts tile-rounded lanes (dead lanes do full PBS work), a
+    >=3-tile launch penalty, and the calibrated per-launch
+    OVERHEAD_LANES; fill is the fraction of launched lanes carrying REAL
+    gate slots (pow2 slot padding and tile rounding both count as
+    waste). Only the mxu backend has lane tiles — other backends report
+    fill 1.0 and cost without tile rounding."""
     B = max(1, int(batch))
-    widths, reals = _launch_widths(engine)
     if engine.backend != "mxu":
-        tot = float(sum(w * B for w in widths))
+        lps = engine.plan.levels
+        tot = float(sum(lp.slot_in.shape[0] * B for lp in lps))
         return tot / B + 0.0, 1.0
-    num = den = cost = 0
+    widths, reals = _policy_launch_widths(engine, B)
+    num = den = cost = 0.0
     for w, real in zip(widths, reals):
         if w == 0:
             continue
         lw = B * w
         gt = tile_for(engine.params, lw)
         launched = -(-lw // gt) * gt
+        pen = tile_penalty(-(-launched // 512))
         num += B * real
         den += launched
-        cost += launched + OVERHEAD_LANES
+        cost += launched * pen + OVERHEAD_LANES
     return cost / B, (num / den if den else 1.0)
 
 
 def suggest_batch(engine, max_batch: int = 16) -> tuple[int, list[dict]]:
-    """Best batch in 1..max_batch by padded-lanes-per-vector, with the
+    """Best batch in 1..max_batch by predicted lanes-per-vector, with the
     full table (batch, fill, cost) for logging. Ties prefer the larger
-    batch (per-level fixed overhead — rotation tables, monomial NTTs,
-    dispatch — splits across more vectors).
+    batch (per-launch fixed overhead splits across more vectors).
 
-    Measured hard cap (AES-128 serving curve, round 4: 32.89 s/block at
-    batch 4 vs 41.45/43.04/40.89 at 6/8/12): launches beyond TWO full
-    512-lane tiles pay ~25% more per tile and the curve plateaus WORSE —
-    so fused-path suggestions never exceed the largest batch whose
-    per-level launch fits 2 tiles. Serving more vectors than that is
-    better done as multiple evaluations at the capped batch."""
-    widths, _ = _launch_widths(engine)
-    max_w = max((w for w in widths if w), default=1)
-    cap = max_batch
-    if engine.backend == "mxu" and getattr(engine, "_scan_levels", None) is not None:
-        cap = min(max_batch, max(1, (2 * 512) // max_w))
+    Round 4's hard 2-tile cap is GONE: the measured >=3-tile per-tile
+    cost growth is modeled as tile_penalty() instead, so wide-batch
+    shapes that win despite it (AES batch 12 under adaptive chunking:
+    26.68 s/block vs 32.89 at the capped batch 4) are now selectable."""
     table = []
     for b in range(1, max(1, max_batch) + 1):
         cost, fill = predicted_cost_per_vector(engine, b)
         table.append({"batch": b, "fill": round(fill, 3),
                       "lanes_per_vector": round(cost, 1)})
-    eligible = [t for t in table if t["batch"] <= cap] or table
-    min_cost = min(t["lanes_per_vector"] for t in eligible)
+    min_cost = min(t["lanes_per_vector"] for t in table)
     best = max(
-        t["batch"] for t in eligible
+        t["batch"] for t in table
         if t["lanes_per_vector"] <= min_cost * 1.02
     )
     return best, table

@@ -1281,6 +1281,66 @@ def _make_kernel_fs_mb(
                 S = [
                     [[None, None] for _ in range(kp1)] for _ in range(nv)
                 ]
+
+                def _combine(v, c2, s0, s1):
+                    # subset combination for ONE (v, c2):
+                    # D[c2] += P_v (.) T_v, with T_v as reduced base-256
+                    # digit pairs accumulated into three unreduced digit
+                    # lanes D0 + 256*D1 + 2^16*D2 (the identity term is
+                    # added post-CRT, not here)
+                    if "nored" in ablate:  # probe: Barrett cost
+                        tlo, thi = s0, s1
+                    else:
+                        tlo = _redfbt(s0, p, ip)
+                        thi = _redfbt(s1, p, ip)
+                    d, nn = D[c2], Nc[c2]
+                    if "nogmul" in ablate:  # probe: subset cost
+                        if d[0] is None:
+                            d[0], d[1] = tlo, thi
+                        else:
+                            d[0] = d[0] + tlo
+                            d[1] = d[1] + thi
+                        return
+                    if d[1] is not None and nn[1] + 2 > dchunk:
+                        d[1] = _redfbt(d[1], p, ip)
+                        nn[1] = 0
+                    if d[0] is not None and nn[0] + 1 > dchunk:
+                        d[0] = _redfbt(d[0], p, ip)
+                        nn[0] = 0
+                    if d[2] is not None and nn[2] + 1 > dchunk:
+                        d[2] = _redfbt(d[2], p, ip)
+                        nn[2] = 0
+                    p0l, p1l = pvt[v]
+                    if d[0] is None:
+                        d[0] = p0l * tlo
+                        d[1] = p1l * tlo + p0l * thi
+                    else:
+                        d[0] = d[0] + p0l * tlo
+                        d[1] = d[1] + p1l * tlo + p0l * thi
+                    d[2] = (
+                        p1l * thi
+                        if d[2] is None
+                        else d[2] + p1l * thi
+                    )
+                    nn[0] += 1
+                    nn[1] += 2
+                    nn[2] += 1
+
+                # "fold": consume each T_v = (slo, shi) into D[c2]
+                # IMMEDIATELY after its r-sum instead of storing all
+                # nv*kp1 S pairs until a separate subset loop — the same
+                # FP ops with identical operand association and D update
+                # order (bit-identical), but the program's live set drops
+                # by ~2*(nv-1)*kp1 [N2, G] arrays (the round-4 reproducer
+                # pinned the pointwise deficit on live-set register
+                # spills, PERFORMANCE.md:157-190).
+                fold = (
+                    ("fold" in ablate
+                     or os.environ.get("HELM_TPU_FS_FOLD", "0") == "1")
+                    and "nofold" not in ablate
+                    and "nobsk" not in ablate
+                    and "mxuexp" not in ablate
+                )
                 if "nobsk" not in ablate and "mxuexp" not in ablate:
                     # Broadcast path (DEFAULT): one [N2,1] column lane-splat
                     # per (v, c2, r). The `nobsk` probe scores the loads at
@@ -1324,7 +1384,10 @@ def _make_kernel_fs_mb(
                                     slo = _redfbt(slo, p, ip)
                                     shi = _redfbt(shi, p, ip)
                                     cc = 1
-                            S[v][c2][0], S[v][c2][1] = slo, shi
+                            if fold:
+                                _combine(v, c2, slo, shi)
+                            else:
+                                S[v][c2][0], S[v][c2][1] = slo, shi
                 elif "nobsk" not in ablate:
                     # `mxuexp` probe: ONE exact matmul per (v, c2) replaces
                     # rows_tot lane-splat broadcasts. The [N2, rows] slab is
@@ -1396,49 +1459,13 @@ def _make_kernel_fs_mb(
                                 S[v][c2][0] = _redfbt(S[v][c2][0], p, ip)
                                 S[v][c2][1] = _redfbt(S[v][c2][1], p, ip)
                         cnt = 1
-                # subset combination: sum_{v>=1} P_v (.) T_v with
-                # T_v as reduced base-256 digit pairs accumulated into
-                # three unreduced digit lanes D0 + 256*D1 + 2^16*D2
-                # (the identity term is added post-CRT, not here)
-                for v in range(1, nv):
-                    for c2 in range(kp1):
-                        if "nored" in ablate:  # probe: Barrett cost
-                            tlo, thi = S[v][c2]
-                        else:
-                            tlo = _redfbt(S[v][c2][0], p, ip)
-                            thi = _redfbt(S[v][c2][1], p, ip)
-                        d, nn = D[c2], Nc[c2]
-                        if "nogmul" in ablate:  # probe: subset cost
-                            if d[0] is None:
-                                d[0], d[1] = tlo, thi
-                            else:
-                                d[0] = d[0] + tlo
-                                d[1] = d[1] + thi
-                        else:
-                            if d[1] is not None and nn[1] + 2 > dchunk:
-                                d[1] = _redfbt(d[1], p, ip)
-                                nn[1] = 0
-                            if d[0] is not None and nn[0] + 1 > dchunk:
-                                d[0] = _redfbt(d[0], p, ip)
-                                nn[0] = 0
-                            if d[2] is not None and nn[2] + 1 > dchunk:
-                                d[2] = _redfbt(d[2], p, ip)
-                                nn[2] = 0
-                            p0l, p1l = pvt[v]
-                            if d[0] is None:
-                                d[0] = p0l * tlo
-                                d[1] = p1l * tlo + p0l * thi
-                            else:
-                                d[0] = d[0] + p0l * tlo
-                                d[1] = d[1] + p1l * tlo + p0l * thi
-                            d[2] = (
-                                p1l * thi
-                                if d[2] is None
-                                else d[2] + p1l * thi
-                            )
-                            nn[0] += 1
-                            nn[1] += 2
-                            nn[2] += 1
+                # subset combination (non-fold paths only — nobsk /
+                # mxuexp probes, or fold disabled): consume the stored
+                # S pairs in the same (v, c2) order as the fold path
+                if not fold:
+                    for v in range(1, nv):
+                        for c2 in range(kp1):
+                            _combine(v, c2, S[v][c2][0], S[v][c2][1])
                 # fold D0 + 256*(D1 + 256*D2) mod p -> balanced <= p//2
                 # (the inverse matmul's 256-limbs must stay <= 128 for
                 # bf16-exactness on the MXU's single f32 pass)

@@ -134,17 +134,64 @@ def _make_engine(args, netlist):
     )
 
 
-def _collect(watch: str, batch: int, linger: float, poll: float) -> list[str]:
-    """Block until at least one input file exists; then keep collecting
-    until `batch` files or `linger` seconds of quiet."""
+#: a file is read only after its (size, mtime) has been unchanged this
+#: long. Producers writing slower than this must write-then-rename
+#: (rename is atomic, so the file is complete on first sight and only
+#: pays the stability wait, never a truncated read).
+STABLE_S = 0.5
+
+
+def _stable_inputs(
+    watch: str, stat_cache: dict, stable_s: float = STABLE_S
+) -> list[str]:
+    """CSV files in `watch` whose (size, mtime) has been unchanged for
+    `stable_s` — the intake convention that keeps a slowly-written file
+    from being read truncated (and then wrongly quarantined).
+
+    Producers SHOULD write-then-rename into the watch dir; for producers
+    that write in place with pauses shorter than `stable_s`,
+    size-stability is the fallback. Zero-byte files are held for 2 s
+    before being passed through (to a clean "no input wires parsed"
+    quarantine) in case the writer just hasn't flushed yet."""
+    now = time.time()
+    eligible = []
+    seen = set()
+    for f in sorted(os.listdir(watch)):
+        path = os.path.join(watch, f)
+        if not f.endswith(".csv") or not os.path.isfile(path):
+            continue
+        seen.add(f)
+        try:
+            st = os.stat(path)
+        except OSError:
+            continue
+        key = (st.st_size, st.st_mtime_ns)
+        prev = stat_cache.get(f)
+        if prev is not None and prev[0] == key:
+            hold = stable_s if st.st_size > 0 else max(stable_s, 2.0)
+            if now - prev[1] >= hold:
+                eligible.append(f)
+        elif prev is None or prev[0] != key:
+            stat_cache[f] = (key, now)
+    for f in list(stat_cache):
+        if f not in seen:
+            del stat_cache[f]
+    return eligible
+
+
+def _collect(
+    watch: str, batch: int, linger: float, poll: float,
+    stat_cache: dict | None = None,
+) -> list[str]:
+    """Block until at least one STABLE input file exists (see
+    _stable_inputs); then keep collecting until `batch` files or
+    `linger` seconds of quiet."""
+    if stat_cache is None:
+        stat_cache = {}
     files: list[str] = []
     deadline = None
     while True:
-        fresh = sorted(
-            f for f in os.listdir(watch)
-            if f.endswith(".csv") and os.path.isfile(os.path.join(watch, f))
-        )
-        files = fresh[:batch]
+        files = _stable_inputs(watch, stat_cache)[:batch]
         if files:
             if len(files) >= batch:
                 return files
@@ -273,8 +320,11 @@ def main(argv=None) -> int:
         print(f"[serve] WARNING: rejected {name}: {err}", flush=True)
 
     batches = 0
+    stat_cache: dict = {}
     while True:
-        names = _collect(args.watch, args.batch, args.linger, args.poll)
+        names = _collect(
+            args.watch, args.batch, args.linger, args.poll, stat_cache
+        )
         vecs, ok_names = [], []
         for f in names:
             try:

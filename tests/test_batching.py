@@ -179,3 +179,57 @@ def test_real_slots_drive_fill():
     lps = e.plan.levels
     assert all(lp.real_slots <= lp.num_slots for lp in lps)
     assert sum(lp.real_slots for lp in lps) == 10  # 2-bit adder gates
+
+
+def test_aes_curve_model_v3():
+    """Model v3 vs every measured AES-128 point (GATES_128_K3, fused).
+
+    Uniform-path measurements (s/block at batch 1/2/4/6/8/12) must
+    predict within 10%; the one adaptive measurement (batch 12, 26.68)
+    is KNOWN to run ~18% better than the uniform-calibrated penalty
+    predicts — asserted as a direction + band so a silent model change
+    that flips it fails loudly. TEST_PARAMS_K3 shares GATES_128_K3's
+    tile model (N <= 512 -> 512-lane base tile)."""
+    import os
+
+    from helm_tpu.batching import _policy_launch_widths
+
+    nl = read_verilog_file("benchmarks/netlists/aes128-gates.v")
+    e = BooleanEngine(
+        mode="gates", params=P.TEST_PARAMS_K3, seed=3, backend="mxu",
+        fuse_levels=True,
+    )
+    e.compile(nl)
+    measured_uniform = {1: 65.41, 2: 40.60, 4: 32.89, 6: 41.45,
+                       8: 43.04, 12: 40.89}
+
+    def pred(b, adaptive, maxc=None):
+        env = {}
+        if maxc is not None:
+            env["HELM_TPU_MAXC"] = str(maxc)
+        env["HELM_TPU_ADAPTIVE_CHUNKS"] = "1" if adaptive else "0"
+        old = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            c, _ = predicted_cost_per_vector(e, b)
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        return c
+
+    # one scale factor from the batch-4 anchor; batch 8 was measured at
+    # MAXC=48 (the crash-diagnosis run)
+    scale = measured_uniform[4] / pred(4, adaptive=False)
+    for b, meas in measured_uniform.items():
+        p = pred(b, adaptive=False, maxc=48 if b == 8 else None) * scale
+        assert abs(p - meas) / meas < 0.10, (b, p, meas)
+    # adaptive batch 12: measured 26.68 runs BETTER than the
+    # uniform-calibrated penalty predicts (conservative model)
+    p12 = pred(12, adaptive=True) * scale
+    assert p12 > 26.68, p12  # conservative, never optimistic
+    assert (p12 - 26.68) / 26.68 < 0.25, p12  # ... but within 25%
+    # and the engine's own policy WOULD choose adaptive at batch 12
+    assert e._use_adaptive(12)

@@ -400,6 +400,36 @@ def test_fs16_matches_fs():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_fold_matches_fs():
+    """The `fold` restructure (subset combination fused into the (v, c2)
+    pointwise loop — drops the 24 stored S arrays from the live set)
+    bit-equals the unfused fs kernel at the k=3 geometry: identical FP
+    ops and operand association, only the emission order differs."""
+    from helm_tpu.ops import mxu_pbs
+
+    p = P.TEST_PARAMS_K3
+    ck = lwe.keygen(p, seed=51)
+    dsk = pbs_jnp.DeviceServerKey.from_host(server_key.gen_server_key(ck))
+    rng = np.random.default_rng(29)
+    bits = rng.integers(0, 2, 11).astype(bool)
+    ct = lwe.encrypt(ck, lwe.encode_bool(bits))
+    testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
+    bsk = mxu_pbs.mxu_server_key_fs(dsk)
+    ref = np.asarray(
+        mxu_pbs.blind_rotate_fs_mb(
+            p, bsk, jnp.asarray(ct), testv, g_tile=8, interpret=True,
+            ablate="nofold",
+        )
+    )
+    got = np.asarray(
+        mxu_pbs.blind_rotate_fs_mb(
+            p, bsk, jnp.asarray(ct), testv, g_tile=8, interpret=True,
+            ablate="fold",
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_hb_blimb_matches_fs():
     """Hybrid kernel with host-precomputed BSK limb-pair rows (blimb,
     mxu_server_key_hb2) bit-equals the fs kernel — the fwd rows are

@@ -37,6 +37,41 @@ def test_bounds_arithmetic():
     assert rb2["bootstraps"] == 402
 
 
+def test_radix_op_costs_floor_model():
+    from helm_tpu.circuit.gates import GateType
+    from helm_tpu.refbound import radix_op_costs
+
+    # u32 = 16 two-bit blocks (reference bin/helm.rs:81-88)
+    assert radix_op_costs(GateType.ADD, 32, plain=False) == (16, 1)
+    assert radix_op_costs(GateType.ADD, 32, plain=True) == (16, 1)
+    assert radix_op_costs(GateType.MULT, 32, plain=False) == (256, 2)
+    assert radix_op_costs(GateType.MULT, 32, plain=True) == (16, 1)
+    # encrypted division: width sequential shift-subtract iterations
+    assert radix_op_costs(GateType.DIV, 32, plain=False) == (32 * 16, 32)
+    assert radix_op_costs(GateType.DIV, 32, plain=True) == (16, 1)
+    # encrypted-amount shift: log2(width) barrel stages
+    assert radix_op_costs(GateType.SHL, 32, plain=False) == (16 * 5, 5)
+    assert radix_op_costs(GateType.SHR, 32, plain=True) == (0, 0)
+    assert radix_op_costs(GateType.COPY, 32, plain=False) == (0, 0)
+
+
+def test_arith_reference_bounds_chi_squared():
+    from helm_tpu.refbound import arith_level_profile, arith_reference_bounds
+
+    nl = read_verilog_file("benchmarks/netlists/chi_squared_arith.v", True)
+    c = Circuit.from_netlist(nl)
+    rb = arith_reference_bounds(c, 32, cores=64)
+    prof = arith_level_profile(c, 32)
+    # structure restated: floor sums the per-level max rounds; the core
+    # bound can never go below it
+    assert rb["infinite_core_floor_s"] <= rb["core_bound_s"]
+    assert rb["bootstraps"] == sum(w for w, _ in prof)
+    assert rb["bootstraps"] > 0
+    # chi-squared has ct*ct multiplies: work must reflect nb^2 terms
+    assert any(w >= 256 for w, _ in prof)
+    assert "tfhe-rs radix floor" in rb["model"]
+
+
 def test_floor_never_exceeds_core_bound():
     for name in ("c880-like", "aes128-gates", "s27", "8-bit-adder-lut-3-1"):
         rb = bounds_for_netlist(f"benchmarks/netlists/{name}.v")

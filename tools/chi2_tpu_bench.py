@@ -96,6 +96,16 @@ for path, width, B in jobs:
         ok = ok and all(o[w] == exp[w] for w in o)
     print("outputs:", outs[0], flush=True)
     print("correct:", ok, flush=True)
+
+    # analytic reference bounds for arith mode (helm_tpu/refbound.py):
+    # documented tfhe-rs radix PBS-count floors per op, generous to the
+    # reference (reference src/gates.rs:306-702 + bin/helm.rs:81-88)
+    from helm_tpu.refbound import arith_reference_bounds
+
+    rb = arith_reference_bounds(
+        c, bits, cores=int(os.environ.get("REF_CORES", "64"))
+    )
+    pv = dt / (B or 1)
     print(
         "RESULT "
         + json.dumps(
@@ -109,6 +119,13 @@ for path, width, B in jobs:
                 "per_vector_s": round(dt / (B or 1), 3),
                 "first_s": round(first, 1),
                 "correct": ok,
+                "ref_infinite_core_floor_s": rb["infinite_core_floor_s"],
+                "ref_core_bound_s": rb["core_bound_s"],
+                "ref_cores": rb["cores"],
+                "ref_bootstraps": rb["bootstraps"],
+                "vs_ref_floor": round(rb["infinite_core_floor_s"] / pv, 3),
+                "vs_ref_cores": round(rb["core_bound_s"] / pv, 3),
+                "bounds_model": rb["model"],
             }
         ),
         flush=True,
