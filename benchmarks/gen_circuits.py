@@ -165,37 +165,72 @@ def gate_multiplier(nbits: int) -> str:
     return "\n".join(L) + "\n"
 
 
-def random_levelized(name: str, n_inputs: int, n_gates: int, n_outputs: int, seed: int) -> str:
-    """ISCAS'85-class random combinational circuit (c880-scale stand-in:
-    the real ISCAS netlists live in the non-vendored submodule)."""
+def _level_widths(n_gates: int, depth: int, rnd) -> list[int]:
+    """Distribute n_gates over `depth` levels, front-loaded (real ISCAS
+    circuits are wider near the inputs and taper toward the outputs),
+    every level >= 1 gate."""
+    assert n_gates >= depth
+    # weights decay linearly from 1.5x to 0.5x of the mean
+    w = [1.5 - float(i) / max(1, depth - 1) for i in range(depth)]
+    tot = sum(w)
+    widths = [max(1, int(n_gates * wi / tot)) for wi in w]
+    # fix rounding drift deterministically
+    while sum(widths) > n_gates:
+        i = max(range(depth), key=lambda j: widths[j])
+        widths[i] -= 1
+    while sum(widths) < n_gates:
+        widths[rnd.randrange(depth)] += 1
+    return widths
+
+
+def random_levelized(
+    name: str, n_inputs: int, n_gates: int, n_outputs: int, seed: int,
+    depth: int,
+) -> str:
+    """ISCAS'85-class random combinational circuit at the PUBLISHED
+    (inputs, gates, outputs) counts AND the published logic depth (the
+    real netlists live in the non-vendored submodule; depth is what the
+    per-level reference bounds and per-level PBS launches hinge on, so a
+    shallower stand-in would deflate the reference floor — round-4
+    verdict item 3).
+
+    Construction is level-by-level: every gate at level l draws its
+    first input from a level-(l-1) wire (forcing its level to exactly l)
+    and its second input uniformly from any earlier wire."""
     rnd = random.Random(seed)
     kinds = ["and", "or", "nand", "nor", "xor", "xnor"]
     L = [f"module {name}(i, o);", f"  input [{n_inputs-1}:0] i;", f"  output [{n_outputs-1}:0] o;"]
+    widths = _level_widths(n_gates, depth, rnd)
     wires = [f"i[{j}]" for j in range(n_inputs)]
-    outs = []
-    for gi in range(n_gates):
-        kind = rnd.choice(kinds)
-        # bias toward recent wires => realistic depth (~levels of c880)
-        lo = max(0, len(wires) - 3 * n_inputs)
-        w1 = wires[rnd.randrange(lo, len(wires))]
-        w2 = wires[rnd.randrange(len(wires))]
-        out = f"w{gi}"
-        L.append(f"  {kind} g{gi}({w1}, {w2}, {out});")
-        wires.append(out)
-        outs.append(out)
+    prev = list(wires)
+    gi = 0
+    for lw in widths:
+        cur = []
+        for _ in range(lw):
+            kind = rnd.choice(kinds)
+            w1 = prev[rnd.randrange(len(prev))]
+            w2 = wires[rnd.randrange(len(wires))]
+            out = f"w{gi}"
+            L.append(f"  {kind} g{gi}({w1}, {w2}, {out});")
+            cur.append(out)
+            gi += 1
+        wires.extend(cur)
+        prev = cur
     for j in range(n_outputs):
-        L.append(f"  buf ob{j}({outs[-1-j]}, o[{j}]);")
+        # outputs tap the deepest wires (gates are emitted level-major)
+        L.append(f"  buf ob{j}({wires[-1-j]}, o[{j}]);")
     L.append("endmodule")
     return "\n".join(L) + "\n"
 
 
 def random_sequential(
-    name: str, n_inputs: int, n_dffs: int, n_gates: int, seed: int
+    name: str, n_inputs: int, n_dffs: int, n_gates: int, seed: int,
+    depth: int,
 ) -> str:
-    """ISCAS'89-class random sequential circuit (s386/s1488-scale
-    stand-ins: the real netlists live in the non-vendored submodule).
+    """ISCAS'89-class random sequential circuit at the published counts
+    and published combinational logic depth (see random_levelized).
     DFF outputs are pseudo-inputs of the combinational cloud; DFF inputs
-    and primary outputs tap the cloud."""
+    and primary outputs tap the cloud's deepest wires."""
     rnd = random.Random(seed)
     kinds = ["and", "or", "nand", "nor", "xor", "xnor"]
     n_outputs = max(2, n_dffs // 3)
@@ -204,18 +239,26 @@ def random_sequential(
         f"  input [{n_inputs-1}:0] i;",
         f"  output [{n_outputs-1}:0] o;",
     ]
+    widths = _level_widths(n_gates, depth, rnd)
     wires = [f"i[{j}]" for j in range(n_inputs)] + [
         f"st{d}" for d in range(n_dffs)
     ]
-    for gi in range(n_gates):
-        kind = rnd.choice(kinds)
-        lo = max(0, len(wires) - 3 * (n_inputs + n_dffs))
-        w1 = wires[rnd.randrange(lo, len(wires))]
-        w2 = wires[rnd.randrange(len(wires))]
-        L.append(f"  {kind} g{gi}({w1}, {w2}, w{gi});")
-        wires.append(f"w{gi}")
+    prev = list(wires)
+    gi = 0
+    for lw in widths:
+        cur = []
+        for _ in range(lw):
+            kind = rnd.choice(kinds)
+            w1 = prev[rnd.randrange(len(prev))]
+            w2 = wires[rnd.randrange(len(wires))]
+            L.append(f"  {kind} g{gi}({w1}, {w2}, w{gi});")
+            cur.append(f"w{gi}")
+            gi += 1
+        wires.extend(cur)
+        prev = cur
+    n_cloud = n_inputs + n_dffs
     for d in range(n_dffs):
-        src = wires[rnd.randrange(n_inputs + n_dffs, len(wires))]
+        src = wires[rnd.randrange(n_cloud, len(wires))]
         L.append(f"  dff d{d}({src}, st{d});")
     for j in range(n_outputs):
         L.append(f"  buf ob{j}({wires[-1-j]}, o[{j}]);")
@@ -1003,20 +1046,25 @@ def main(outdir: str = "benchmarks/netlists"):
     (out / "128-bit-mult.v").write_text(gate_multiplier(128))
     (out / "8-bit-mult.v").write_text(gate_multiplier(8))
     # ISCAS'85 stand-ins at the published (inputs, gates, outputs) sizes
-    # (README.md:70-113 / RUNNING.md family list; real netlists live in
-    # the non-vendored hdl-benchmarks submodule)
-    (out / "c880-like.v").write_text(random_levelized("c880like", 60, 383, 26, seed=880))
-    (out / "c1355-like.v").write_text(random_levelized("c1355like", 41, 546, 32, seed=1355))
-    (out / "c1908-like.v").write_text(random_levelized("c1908like", 33, 880, 25, seed=1908))
-    (out / "c2670-like.v").write_text(random_levelized("c2670like", 233, 1193, 140, seed=2670))
-    (out / "c3540-like.v").write_text(random_levelized("c3540like", 50, 1669, 22, seed=3540))
-    (out / "c5315-like.v").write_text(random_levelized("c5315like", 178, 2307, 123, seed=5315))
-    (out / "c6288-like.v").write_text(random_levelized("c6288like", 32, 2416, 32, seed=6288))
-    (out / "c7552-like.v").write_text(random_levelized("c7552like", 207, 3512, 108, seed=7552))
-    (out / "s386-like.v").write_text(random_sequential("s386like", 7, 6, 159, seed=386))
-    (out / "s1488-like.v").write_text(random_sequential("s1488like", 8, 6, 653, seed=1488))
+    # AND published logic depths (README.md:70-113 / RUNNING.md family
+    # list; depths are the standard published ISCAS'85 level counts —
+    # c880 24, c1355 24, c1908 40, c2670 32, c3540 47, c5315 49,
+    # c6288 124, c7552 43. Real netlists live in the non-vendored
+    # hdl-benchmarks submodule.)
+    (out / "c880-like.v").write_text(random_levelized("c880like", 60, 383, 26, seed=880, depth=24))
+    (out / "c1355-like.v").write_text(random_levelized("c1355like", 41, 546, 32, seed=1355, depth=24))
+    (out / "c1908-like.v").write_text(random_levelized("c1908like", 33, 880, 25, seed=1908, depth=40))
+    (out / "c2670-like.v").write_text(random_levelized("c2670like", 233, 1193, 140, seed=2670, depth=32))
+    (out / "c3540-like.v").write_text(random_levelized("c3540like", 50, 1669, 22, seed=3540, depth=47))
+    (out / "c5315-like.v").write_text(random_levelized("c5315like", 178, 2307, 123, seed=5315, depth=49))
+    (out / "c6288-like.v").write_text(random_levelized("c6288like", 32, 2416, 32, seed=6288, depth=124))
+    (out / "c7552-like.v").write_text(random_levelized("c7552like", 207, 3512, 108, seed=7552, depth=43))
+    # ISCAS'89 stand-ins; published combinational depths s386 11,
+    # s1488 17, s15850 82
+    (out / "s386-like.v").write_text(random_sequential("s386like", 7, 6, 159, seed=386, depth=11))
+    (out / "s1488-like.v").write_text(random_sequential("s1488like", 8, 6, 653, seed=1488, depth=17))
     (out / "s15850-like.v").write_text(
-        random_sequential("s15850like", 77, 534, 9772, seed=15850)
+        random_sequential("s15850like", 77, 534, 9772, seed=15850, depth=82)
     )
     (out / "chi_squared_arith.v").write_text(CHI_SQUARED)
     (out / "crc32.v").write_text(crc32_circuit())

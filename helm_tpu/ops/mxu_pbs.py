@@ -1360,30 +1360,58 @@ def _make_kernel_fs_mb(
                     # cost of one i16->f32 convert per term (the values
                     # are identical, so outputs stay bit-exact)
                     bsk_i16 = bsk_ref.dtype == jnp.int16
+                    # "halfg": emit the r-sum per lane HALF-tile (disjoint
+                    # [N2, G/2] slices processed sequentially) — identical
+                    # elementwise ops and reduction points (bit-exact),
+                    # half the per-value vreg footprint in the hot loop.
+                    # Probes whether the pointwise deficit is per-value
+                    # register pressure.
+                    halves = (
+                        [slice(0, G // 2), slice(G // 2, G)]
+                        if ("halfg" in ablate and G % 2 == 0)
+                        else [slice(0, G)]
+                    )
                     for v in range(1, nv):
                         for c2 in range(kp1):
                             base = (
                                 (((v - 1) * kp1 + c2) * NP + pi) * N1 + t
                             ) * rows_tot
                             chk = bsk_ref[0][:, base : base + rows_tot]
-                            slo = shi = None
-                            cc = 0
-                            for r in range(rows_tot):
-                                b = jnp.broadcast_to(
-                                    chk[:, r : r + 1], (N2, G)
+                            parts = []
+                            for hs in halves:
+                                hw = hs.stop - hs.start
+                                slo = shi = None
+                                cc = 0
+                                for r in range(rows_tot):
+                                    b = jnp.broadcast_to(
+                                        chk[:, r : r + 1], (N2, hw)
+                                    )
+                                    if bsk_i16:
+                                        b = b.astype(jnp.float32)
+                                    if len(halves) == 1:
+                                        flo, fhi = splits[r]
+                                    else:
+                                        flo = splits[r][0][:, hs]
+                                        fhi = splits[r][1][:, hs]
+                                    plo = flo * b
+                                    phi = fhi * b
+                                    slo = plo if slo is None else slo + plo
+                                    shi = phi if shi is None else shi + phi
+                                    cc += 1
+                                    if cc == chunk and r + 1 < rows_tot:
+                                        slo = _redfbt(slo, p, ip)
+                                        shi = _redfbt(shi, p, ip)
+                                        cc = 1
+                                parts.append((slo, shi))
+                            if len(parts) == 1:
+                                slo, shi = parts[0]
+                            else:
+                                slo = jnp.concatenate(
+                                    [q[0] for q in parts], axis=1
                                 )
-                                if bsk_i16:
-                                    b = b.astype(jnp.float32)
-                                flo, fhi = splits[r]
-                                plo = flo * b
-                                phi = fhi * b
-                                slo = plo if slo is None else slo + plo
-                                shi = phi if shi is None else shi + phi
-                                cc += 1
-                                if cc == chunk and r + 1 < rows_tot:
-                                    slo = _redfbt(slo, p, ip)
-                                    shi = _redfbt(shi, p, ip)
-                                    cc = 1
+                                shi = jnp.concatenate(
+                                    [q[1] for q in parts], axis=1
+                                )
                             if fold:
                                 _combine(v, c2, slo, shi)
                             else:

@@ -458,3 +458,31 @@ def test_hb_blimb_matches_fs():
             )
         )
         np.testing.assert_array_equal(got, ref)
+
+
+def test_halfg_matches_fs():
+    """The `halfg` probe (r-sum emitted per lane half-tile: identical
+    elementwise ops on disjoint [N2, G/2] slices, half the per-value
+    vreg footprint) bit-equals the full-width fs kernel."""
+    from helm_tpu.ops import mxu_pbs
+
+    p = P.TEST_PARAMS_K3
+    ck = lwe.keygen(p, seed=51)
+    dsk = pbs_jnp.DeviceServerKey.from_host(server_key.gen_server_key(ck))
+    rng = np.random.default_rng(29)
+    bits = rng.integers(0, 2, 11).astype(bool)
+    ct = lwe.encrypt(ck, lwe.encode_bool(bits))
+    testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
+    bsk = mxu_pbs.mxu_server_key_fs(dsk)
+    ref = np.asarray(
+        mxu_pbs.blind_rotate_fs_mb(
+            p, bsk, jnp.asarray(ct), testv, g_tile=8, interpret=True,
+        )
+    )
+    got = np.asarray(
+        mxu_pbs.blind_rotate_fs_mb(
+            p, bsk, jnp.asarray(ct), testv, g_tile=8, interpret=True,
+            ablate="halfg",
+        )
+    )
+    np.testing.assert_array_equal(got, ref)

@@ -49,7 +49,18 @@ from jax.experimental.pallas import tpu as pltpu
 N2, T = 64, 96  # GATES_128_K3 fs tile sublanes + terms/(prime, tile)
 
 
-def make_kernel(R: int, A: int, G: int):
+def make_kernel(R: int, A: int, G: int, variant: str = "splat"):
+    """variant:
+    splat  one [N2,1]->[N2,G] lane splat + 2 fma per term (reproducer)
+    red    splat + a Barrett-style reduction (t - round(t*ip)*p: mul,
+           round, fma — the _redfbt op mix) on each accumulator pair
+           every 8 terms, the production (v,c2) reduction density
+    two    each term multiplies TWO full resident [N2, G] arrays
+           (the subset-combination operand shape: p0l * tlo) instead of
+           a splat — doubles the VMEM operand traffic per fma
+    """
+    P_, IP = 16381.0, 1.0 / 16381.0
+
     def kernel(col_ref, rows_ref, out_ref, acc_scr):
         j = pl.program_id(0)
 
@@ -61,10 +72,20 @@ def make_kernel(R: int, A: int, G: int):
         accs = [acc_scr[i] for i in range(2 * A)]
         col = col_ref[0]
         for i in range(T):
-            b = jnp.broadcast_to(col[:, i : i + 1], (N2, G))
             r, a = i % R, i % A
-            accs[2 * a] = accs[2 * a] + rows[2 * r] * b
-            accs[2 * a + 1] = accs[2 * a + 1] + rows[2 * r + 1] * b
+            if variant == "two":
+                b = rows[2 * ((i + 1) % R)]
+                accs[2 * a] = accs[2 * a] + rows[2 * r] * b
+                accs[2 * a + 1] = accs[2 * a + 1] + rows[2 * r + 1] * b
+            else:
+                b = jnp.broadcast_to(col[:, i : i + 1], (N2, G))
+                accs[2 * a] = accs[2 * a] + rows[2 * r] * b
+                accs[2 * a + 1] = accs[2 * a + 1] + rows[2 * r + 1] * b
+            if variant == "red" and (i + 1) % 8 == 0:
+                t0 = accs[2 * a]
+                t1 = accs[2 * a + 1]
+                accs[2 * a] = t0 - jnp.floor(t0 * IP + 0.5) * P_
+                accs[2 * a + 1] = t1 - jnp.floor(t1 * IP + 0.5) * P_
         # keep magnitudes bounded without changing the per-term op mix
         for a in range(2 * A):
             acc_scr[a] = accs[a] * 0.5
@@ -80,11 +101,15 @@ def make_kernel(R: int, A: int, G: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("R", "A", "G", "steps", "interpret")
+    jax.jit,
+    static_argnames=("R", "A", "G", "steps", "interpret", "variant"),
 )
-def run(cols, rows, R: int, A: int, G: int, steps: int, interpret: bool):
+def run(
+    cols, rows, R: int, A: int, G: int, steps: int, interpret: bool,
+    variant: str = "splat",
+):
     return pl.pallas_call(
-        make_kernel(R, A, G),
+        make_kernel(R, A, G, variant),
         grid=(steps,),
         in_specs=[
             pl.BlockSpec(
@@ -111,6 +136,7 @@ def main():
     G = int(os.environ.get("G", "512"))
     rs = [int(x) for x in os.environ.get("RS", "1,2,4,8").split(",")]
     as_ = [int(x) for x in os.environ.get("AS", "1,4,8,12,16").split(",")]
+    variants = os.environ.get("VARIANTS", "splat").split(",")
 
     rng = np.random.default_rng(7)
     cols = jnp.asarray(
@@ -125,27 +151,30 @@ def main():
             rng.integers(-128, 129, (2 * R, N2, G)).astype(np.float32)
         )
         for A in as_:
-            live = (2 * R + 2 * A) * (N2 * G // 1024)
-            try:
-                out = np.asarray(
-                    run(cols, rows, R, A, G, steps, interpret)
-                )  # compile
-                assert np.isfinite(out).all()
-                t0 = time.perf_counter()
-                for _ in range(reps):
-                    out_d = run(cols, rows, R, A, G, steps, interpret)
-                np.asarray(out_d)
-                dt = time.perf_counter() - t0
-                tps = steps * T * reps / dt
-                print(
-                    f"R={R:2d} A={A:2d} live~{live:4d} vregs: "
-                    f"{tps / 1e6:8.2f} M terms/s "
-                    f"({tps * fma_elems / 1e12:6.3f} T fma-elems/s)",
-                    flush=True,
-                )
-            except Exception as e:
-                print(f"R={R:2d} A={A:2d} live~{live:4d} vregs: "
-                      f"FAILED {type(e).__name__}: {e}", flush=True)
+            for v in variants:
+                live = (2 * R + 2 * A) * (N2 * G // 1024)
+                try:
+                    out = np.asarray(
+                        run(cols, rows, R, A, G, steps, interpret, v)
+                    )  # compile
+                    assert np.isfinite(out).all()
+                    t0 = time.perf_counter()
+                    for _ in range(reps):
+                        out_d = run(
+                            cols, rows, R, A, G, steps, interpret, v
+                        )
+                    np.asarray(out_d)
+                    dt = time.perf_counter() - t0
+                    tps = steps * T * reps / dt
+                    print(
+                        f"R={R:2d} A={A:2d} {v:5s} live~{live:4d} vregs: "
+                        f"{tps / 1e6:8.2f} M terms/s "
+                        f"({tps * fma_elems / 1e12:6.3f} T fma-elems/s)",
+                        flush=True,
+                    )
+                except Exception as e:
+                    print(f"R={R:2d} A={A:2d} {v:5s} live~{live:4d} vregs: "
+                          f"FAILED {type(e).__name__}: {e}", flush=True)
 
 
 if __name__ == "__main__":
