@@ -25,15 +25,20 @@ calibrated terms ride on the lane counts:
   pick a wide batch when adaptive chunking's narrower segments win it
   back.
 
-Fit vs every measured AES-128 point (GATES_128_K3, fused):
-uniform batch 1/2/4/6/8/12 = 65.41/40.60/32.89/41.45/43.04/40.89
-s/block predict within 8% (1/6/8/12 within 1%); the one ADAPTIVE
-measurement (batch 12 = 26.68 s/block, beating the round-4 capped
-batch-4 "best" by 19%) runs 18% BETTER than this model predicts —
-the >=3-tile penalty calibrated on uniform chunking overcharges
-adaptive segments. The round-5 spool measures adaptive batch 4/16 to
-discriminate; until then the model is documented as conservative for
-adaptive shapes.
+Fit vs every measured AES-128 point (GATES_128_K3, fused): uniform
+batch 1/2/4/6/8/12 = 65.41/40.60/32.89/41.45/43.04/40.89 s/block
+predict within 8% (1/6/8/12 within 1%).
+
+The ADAPTIVE path does NOT follow the uniform penalties (round-5
+measurements): batch 12 adaptive = 26.68 s/block runs 18% BETTER than
+the uniform-calibrated penalty predicts, while batch 4 adaptive =
+32.11 s/block (vs 32.89 uniform) captures almost NONE of its predicted
+15% lane saving — narrow segments save less than lane-proportional,
+wide launches cost less than the uniform penalty. The two points pin an
+affine per-level cost for adaptive segments, cost(T tiles) =
+ADAPTIVE_TILE_LANES*T + ADAPTIVE_LEVEL_LANES (a 2-point calibration;
+adaptive batch 16 is queued as the out-of-sample test). Measured best:
+batch 12 at 26.68 s/block.
 
 serve.py `--batch auto` and underfill warnings ride this model.
 """
@@ -48,18 +53,27 @@ UNDERFILL_WARN = 0.75
 OVERHEAD_LANES = 512
 
 def tile_penalty(tiles: int) -> float:
-    """Per-lane cost multiplier by launch width in 512-lane tiles.
-
-    Calibrated on the measured uniform AES-128 batch curve (module
-    docstring): batch 6 (3 tiles) implies 1.56, batches 8 and 12 (4 and
-    6 tiles) imply 1.71 and 1.69. The mechanism is unconfirmed (c7552
-    batch discriminator queued); the table is measured behavior, not a
-    theory."""
+    """UNIFORM-path per-lane cost multiplier by launch width in 512-lane
+    tiles. Calibrated on the measured uniform AES-128 batch curve
+    (module docstring): batch 6 (3 tiles) implies 1.56, batches 8 and
+    12 (4 and 6 tiles) imply 1.71 and 1.69. The mechanism is
+    unconfirmed (c7552 batch discriminator queued); the table is
+    measured behavior, not a theory."""
     if tiles <= 2:
         return 1.0
     if tiles == 3:
         return 1.56
     return 1.70
+
+
+#: ADAPTIVE-path per-level cost in lane-equivalents: cost(T tiles) =
+#: ADAPTIVE_TILE_LANES * T + ADAPTIVE_LEVEL_LANES. Solved exactly from
+#: the two measured adaptive AES points (batch 4 = 32.11 s/block with
+#: tile-profile {2: 204, 1: 154} levels; batch 12 = 26.68 with
+#: {6: 204, 3: 140, 2: 14}), in the same units as the uniform model
+#: (uniform batch 4 = 32.89 s/block = 1536 lane-equivalents/level).
+ADAPTIVE_TILE_LANES = 727.0
+ADAPTIVE_LEVEL_LANES = 369.0
 
 
 def tile_for(params: TfheParams, width: int, interpret: bool = False) -> int:
@@ -75,9 +89,11 @@ def tile_for(params: TfheParams, width: int, interpret: bool = False) -> int:
     return min(base, max(128, gb))
 
 
-def _policy_launch_widths(engine, batch: int) -> tuple[list[int], list[int]]:
-    """(per-launch padded slot widths, per-launch REAL slot counts) under
-    the engine's chunking policy at `batch`.
+def _policy_launch_widths(
+    engine, batch: int
+) -> tuple[list[int], list[int], bool]:
+    """(per-launch padded slot widths, per-launch REAL slot counts,
+    adaptive?) under the engine's chunking policy at `batch`.
 
     - per-level dispatch (no fused scan): each level launches at its own
       padded width.
@@ -89,7 +105,7 @@ def _policy_launch_widths(engine, batch: int) -> tuple[list[int], list[int]]:
     lps = engine.plan.levels
     reals = [lp.real_slots for lp in lps]
     if getattr(engine, "_scan_stacked", None) is None:
-        return [lp.slot_in.shape[0] for lp in lps], reals
+        return [lp.slot_in.shape[0] for lp in lps], reals, False
     mn = getattr(engine, "_min_slots", 1)
     w = [max(lp.slot_in.shape[0], mn, 1) for lp in lps]
     B = max(1, int(batch))
@@ -99,14 +115,14 @@ def _policy_launch_widths(engine, batch: int) -> tuple[list[int], list[int]]:
         for j, i in segs:
             S = max(w[j:i])
             widths.extend([S] * (i - j))
-        return widths, reals
+        return widths, reals, True
     S = max(w)
     maxc = engine._max_chunk_levels(B)
     L = len(lps)
     nch = -(-L // maxc)
     C = -(-L // nch)
     total = nch * C
-    return [S] * total, reals + [0] * (total - L)
+    return [S] * total, reals + [0] * (total - L), False
 
 
 def predicted_cost_per_vector(engine, batch: int) -> tuple[float, float]:
@@ -123,7 +139,7 @@ def predicted_cost_per_vector(engine, batch: int) -> tuple[float, float]:
         lps = engine.plan.levels
         tot = float(sum(lp.slot_in.shape[0] * B for lp in lps))
         return tot / B + 0.0, 1.0
-    widths, reals = _policy_launch_widths(engine, B)
+    widths, reals, adaptive = _policy_launch_widths(engine, B)
     num = den = cost = 0.0
     for w, real in zip(widths, reals):
         if w == 0:
@@ -131,10 +147,15 @@ def predicted_cost_per_vector(engine, batch: int) -> tuple[float, float]:
         lw = B * w
         gt = tile_for(engine.params, lw)
         launched = -(-lw // gt) * gt
-        pen = tile_penalty(-(-launched // 512))
+        tiles = -(-launched // 512)
         num += B * real
         den += launched
-        cost += launched * pen + OVERHEAD_LANES
+        if adaptive:
+            # measured adaptive-path cost is affine in tiles, not
+            # lane-proportional (module docstring)
+            cost += ADAPTIVE_TILE_LANES * tiles + ADAPTIVE_LEVEL_LANES
+        else:
+            cost += launched * tile_penalty(tiles) + OVERHEAD_LANES
     return cost / B, (num / den if den else 1.0)
 
 

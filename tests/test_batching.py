@@ -226,10 +226,13 @@ def test_aes_curve_model_v3():
     for b, meas in measured_uniform.items():
         p = pred(b, adaptive=False, maxc=48 if b == 8 else None) * scale
         assert abs(p - meas) / meas < 0.10, (b, p, meas)
-    # adaptive batch 12: measured 26.68 runs BETTER than the
-    # uniform-calibrated penalty predicts (conservative model)
-    p12 = pred(12, adaptive=True) * scale
-    assert p12 > 26.68, p12  # conservative, never optimistic
-    assert (p12 - 26.68) / 26.68 < 0.25, p12  # ... but within 25%
-    # and the engine's own policy WOULD choose adaptive at batch 12
-    assert e._use_adaptive(12)
+    # adaptive path: affine-in-tiles cost solved from the two measured
+    # adaptive points (batch 4 = 32.11, batch 12 = 26.68 s/block) — the
+    # model must reproduce both and rank batch 12 as the serving best
+    measured_adaptive = {4: 32.11, 12: 26.68}
+    for b, meas in measured_adaptive.items():
+        p = pred(b, adaptive=True) * scale
+        assert abs(p - meas) / meas < 0.05, (b, p, meas)
+    assert pred(12, adaptive=True) < pred(4, adaptive=True)
+    # and the engine's own policy WOULD choose adaptive at both batches
+    assert e._use_adaptive(12) and e._use_adaptive(4)

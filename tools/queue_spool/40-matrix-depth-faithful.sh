@@ -5,4 +5,4 @@
 # both the wall-clocks and the reference bounds move). One process,
 # single-vector latency shape, oracle-checked; RESULT lines carry the
 # new refbounds.
-MODE=gates PSET=GATES_128_K3 BACKEND=mxu NETLISTS="benchmarks/netlists/c880-like.v benchmarks/netlists/c1355-like.v benchmarks/netlists/c1908-like.v benchmarks/netlists/c2670-like.v benchmarks/netlists/c3540-like.v benchmarks/netlists/c5315-like.v benchmarks/netlists/c6288-like.v benchmarks/netlists/c7552-like.v benchmarks/netlists/s386-like.v:0:3 benchmarks/netlists/s1488-like.v:0:3" python -u tools/family_bench.py
+MODE=gates PSET=GATES_128_K3 BACKEND=mxu NETLISTS="benchmarks/netlists/c880-like.v benchmarks/netlists/c1355-like.v benchmarks/netlists/c1908-like.v benchmarks/netlists/c2670-like.v benchmarks/netlists/c3540-like.v benchmarks/netlists/c5315-like.v benchmarks/netlists/c6288-like.v benchmarks/netlists/c7552-like.v benchmarks/netlists/s386-like.v:0:3 benchmarks/netlists/s1488-like.v:0:3 benchmarks/netlists/s15850-like.v:0:2" python -u tools/family_bench.py
