@@ -83,6 +83,8 @@ class DeviceServerKey:
                 keys = (ts_pbs.mxu_server_key_ts(self),)
             elif kn == "fs16":
                 keys = (mxu_pbs.mxu_server_key_fs_i16(self),)
+            elif kn == "ps":
+                keys = (mxu_pbs.mxu_server_key_ps(self),)
             else:
                 keys = (mxu_pbs.mxu_server_key_fs(self),)
         else:

@@ -2011,6 +2011,580 @@ def mxu_server_key_fs_i16(dsk):
     return _layout_cache("fs-i16", dsk.bsk_ntt, build)
 
 
+def mxu_server_key_ps(dsk):
+    """fs slab re-laid for the prime-split kernel: prime OUTERMOST so the
+    grid's pi axis can DMA one prime's block per step,
+    [groups, NP, N2, (nv-1)*kp1*N1*rows], col =
+    ((v-1)*kp1+c2)*N1*rows + t*rows + r. Values identical to
+    mxu_server_key_fs (a pure permutation)."""
+
+    def build():
+        fs = mxu_server_key_fs(dsk)
+        p = dsk.params
+        nvm1 = (1 << p.grouping) - 1
+        rows = p.gadget_rows
+        kp1 = p.k + 1
+        NP = len(primes_for(p.N))
+        groups, N2, CC = fs.shape
+        vc = nvm1 * kp1
+        assert CC == vc * NP * N1 * rows
+
+        @jax.jit
+        def conv(x):
+            y = x.reshape(groups, N2, vc, NP, N1 * rows)
+            y = jnp.transpose(y, (0, 3, 1, 2, 4))
+            return y.reshape(groups, NP, N2, vc * N1 * rows)
+
+        return conv(fs)
+
+    return _layout_cache("fs-ps", dsk.bsk_ntt, build)
+
+
+# --- dynamic-scalar modular helpers for the prime-split kernel: identical
+# arithmetic to the static versions above, with the prime supplied as
+# runtime scalars (read from SMEM) instead of trace-time constants, so a
+# single compiled body serves every CRT prime.
+
+
+def _redfb_d(t, pf, ipf):
+    q = jnp.floor(t * ipf + 0.5)
+    return t - q * pf
+
+
+def _tighten_d(t, pf, hpf):
+    t = jnp.where(t > hpf, t - pf, t)
+    return jnp.where(t < -hpf, t + pf, t)
+
+
+def _redfbt_d(t, pf, hpf, ipf):
+    return _tighten_d(_redfb_d(t, pf, ipf), pf, hpf)
+
+
+def _to_bal_f32_d(u, p_i):
+    t32 = u.astype(jnp.int32)
+    hp = p_i // 2
+    return jnp.where(t32 > hp, t32 - p_i, t32).astype(jnp.float32)
+
+
+def _fgmul_d(a, b, pf, hpf, ipf):
+    a0, a1 = _split256(a)
+    return _redfbt_d(
+        a0 * b + 256.0 * _redfbt_d(a1 * b, pf, hpf, ipf), pf, hpf, ipf
+    )
+
+
+def _mm128_bal_d(bal, w0, w1, pf, hpf, ipf):
+    a0, a1 = _split256(bal)
+    a0 = a0.astype(jnp.bfloat16)
+    a1 = a1.astype(jnp.bfloat16)
+
+    def mm(w, a):
+        return jax.lax.dot_general(
+            w, a, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    m00 = mm(w0, a0)
+    mid = mm(w1, a0) + mm(w0, a1)
+    m11 = mm(w1, a1)
+    hi = _redfbt_d(m11, pf, hpf, ipf)
+    u = _redfb_d(mid, pf, ipf)
+    s1 = _redfbt_d(u + 256.0 * hi, pf, hpf, ipf)
+    return _redfbt_d(m00 + 256.0 * s1, pf, hpf, ipf)
+
+
+def _fs_fwd8_d(xs, stw_ref, pi_id, p_u):
+    for s in range(LOG_N1):
+        t = N1 >> (s + 1)
+        ys = [None] * N1
+        for i0 in range(0, N1, 2 * t):
+            for i in range(i0, i0 + t):
+                w = stw_ref[pi_id, 0, s, i]
+                wsh = stw_ref[pi_id, 1, s, i]
+                t1 = _mshoup(xs[i + t], w, wsh, p_u)
+                ys[i] = _madd(xs[i], t1, p_u)
+                ys[i + t] = _msub(xs[i], t1, p_u)
+        xs = ys
+    return xs
+
+
+def _fs_inv8_d(xs, istw_ref, pi_id, p_u):
+    for s in range(LOG_N1):
+        t = 1 << s
+        ys = [None] * N1
+        for i0 in range(0, N1, 2 * t):
+            for i in range(i0, i0 + t):
+                w = istw_ref[pi_id, 0, s, i]
+                wsh = istw_ref[pi_id, 1, s, i]
+                ys[i] = _madd(xs[i], xs[i + t], p_u)
+                ys[i + t] = _mshoup(
+                    _msub(xs[i], xs[i + t], p_u), w, wsh, p_u
+                )
+        xs = ys
+    return xs
+
+
+def _make_kernel_fs_ps(params: TfheParams, g_tile: int):
+    """Prime-split fs kernel: the CRT-prime loop moves onto the GRID
+    (grid = (tiles, groups, NP)), so each grid step runs ONE prime's
+    transforms + pointwise — a ~4x smaller program for Mosaic to
+    schedule. Motivation (round-5 probe matrix, PERFORMANCE.md): every
+    isolated pointwise structure (splats, live set, reductions,
+    two-array operands) runs at 0.75-1.15 T fma-elems/s while the full
+    kernel's pointwise achieves ~0.45 — the deficit is emergent in the
+    big multi-stage program, so shrink the program per step.
+
+    Bit-identical to the fs kernel with ablate='crtacc' semantics: the
+    per-prime inverse-NTT residues fold into running CRT partial sums
+    (same addition order); gadget digits are computed once per j at
+    pi == 0 and staged in VMEM scratch; per-prime constants arrive as
+    SMEM scalars / per-prime table blocks. The subset-combination
+    reduction points use the MINIMUM dchunk across primes (extra
+    tightened Barrett reductions are value-preserving: _redfbt maps any
+    congruent in-range representative to the unique balanced one)."""
+    N, k, n = params.N, params.k, params.n
+    g = params.grouping
+    nv = 1 << g
+    N2 = N // N1
+    kp1 = k + 1
+    gadgets = params.component_gadgets
+    rows_tot = params.gadget_rows
+    tab = get_tables(N)
+    PRIMES = tuple(int(p) for p in tab.primes)
+    NP = len(PRIMES)
+    PROD = 1
+    for _p in PRIMES:
+        PROD *= _p
+    PROD_MOD = PROD % (1 << 32)
+    G = g_tile
+    # common (minimum) reduction thresholds across primes — see docstring
+    chunk_min = min((1 << 24) // ((p // 2 + 1) * 128) for p in PRIMES)
+    dchunk_min = min(
+        ((1 << 24) - p // 2 - 2 * p) // ((p // 2 + 1) * 128)
+        for p in PRIMES
+    )
+    if chunk_min <= rows_tot:
+        raise NotImplementedError(
+            "fs-ps assumes no mid-r-sum reductions (chunk > rows)"
+        )
+    for bl, _lv in gadgets:
+        if (1 << (bl - 1)) >= min(PRIMES):
+            raise NotImplementedError(
+                "fs-ps digit residues need 2^(bl-1) < min prime"
+            )
+    row_bl = [bl for bl, lv in gadgets for _ in range(lv)]
+    row0 = []
+    acc_c = 0
+    for bl, lv in gadgets:
+        row0.append(acc_c)
+        acc_c += lv
+    LOW = min(64, 2 * N)
+    HBW = max(1, (2 * N) // LOW)
+
+    def kernel(
+        acc0_ref,   # (1, kp1, N1, N2, G) u32       [i]
+        abar_ref,   # (1, n, G) i32                 [i]
+        w2f_ref,    # (1, N1, 2, N2, N2) bf16       [pi]
+        w2fi_ref,   # (1, N1, 2, N2, N2) bf16       [pi]
+        tlo_ref,    # (1, 2, N1*N2, LOW) bf16       [pi]
+        thi_ref,    # (1, 2, N1*N2, HBW) bf16       [pi]
+        stw_ref,    # (NP, 2, LOG_N1, N1) u32 SMEM, full array
+        istw_ref,   # (NP, 2, LOG_N1, N1) u32 SMEM, full array
+        si_ref,     # (NP, 2) u32 SMEM: p, crt_w_mod (full array)
+        sf_ref,     # (NP, 4) f32 SMEM: 1/p, frac, p, p//2 (full array)
+        bsk_ref,    # (1, 1, N2, vc*N1*rows) f32    [j, pi]
+        out_ref,    # (1, kp1, N1, N2, G) u32       [i]
+        acc_scr,    # (kp1, N1, N2, G) u32
+        digs_scr,   # (rows, N1, N2, G) i32
+        crt_i_scr,  # (kp1, N1, N2, G) u32
+        crt_f_scr,  # (kp1, N1, N2, G) f32
+    ):
+        j = pl.program_id(1)
+        pi_id = pl.program_id(2)
+
+        @pl.when((j == 0) & (pi_id == 0))
+        def _():
+            acc_scr[...] = acc0_ref[0]
+
+        p_u = si_ref[pi_id, 0]
+        wmod = si_ref[pi_id, 1]
+        ipf = sf_ref[pi_id, 0]
+        frac = sf_ref[pi_id, 1]
+        pf = sf_ref[pi_id, 2]
+        hpf = sf_ref[pi_id, 3]
+        p_i = p_u.astype(jnp.int32)
+
+        # gadget digits: once per j (pi == 0), staged for the other primes
+        @pl.when(pi_id == 0)
+        def _():
+            for c in range(kp1):
+                bl_c, lv_c = gadgets[c]
+                for t in range(N1):
+                    ds = _decompose(acc_scr[c, t], bl_c, lv_c)
+                    for l, d in enumerate(ds):
+                        digs_scr[row0[c] + l, t] = d
+
+        # per-gate one-hot monomial selectors (prime-independent values,
+        # rebuilt per step — two iota compares, ~free)
+        def ohmm(tref, oh):
+            return jax.lax.dot_general(
+                tref, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        ohs = []
+        for i in range(g):
+            a_i = abar_ref[0, g * j + i, :]
+            alo = (a_i & (LOW - 1))[None, :]
+            ahi = (a_i >> LOG2[LOW])[None, :]
+            ohs.append((
+                (
+                    jax.lax.broadcasted_iota(jnp.int32, (LOW, G), 0)
+                    == alo
+                ).astype(jnp.bfloat16),
+                (
+                    jax.lax.broadcasted_iota(jnp.int32, (HBW, G), 0)
+                    == ahi
+                ).astype(jnp.bfloat16),
+            ))
+
+        # --- this prime's residues -> forward NTT
+        xs = []
+        for t in range(N1):
+            stacked = jnp.concatenate(
+                [
+                    jnp.where(
+                        digs_scr[r, t] < 0,
+                        digs_scr[r, t] + p_i,
+                        digs_scr[r, t],
+                    ).astype(jnp.uint32)
+                    for r in range(rows_tot)
+                ],
+                axis=1,
+            )  # [N2, rows*G]
+            xs.append(stacked)
+        xs = _fs_fwd8_d(xs, stw_ref, pi_id, p_u)
+        fwd_pi = [[None] * N1 for _ in range(rows_tot)]
+        for t in range(N1):
+            f = _mm128_bal_d(
+                _to_bal_f32_d(xs[t], p_i),
+                w2f_ref[0, t, 0], w2f_ref[0, t, 1], pf, hpf, ipf,
+            )
+            for r in range(rows_tot):
+                fwd_pi[r][t] = f[:, r * G : (r + 1) * G]
+
+        # --- monomial NTTs + subset polynomials for this prime
+        Mall = []
+        for i in range(g):
+            oh_lo, oh_hi = ohs[i]
+            l0 = ohmm(tlo_ref[0, 0], oh_lo)
+            l1 = ohmm(tlo_ref[0, 1], oh_lo)
+            hv = ohmm(thi_ref[0, 0], oh_hi) + 256.0 * ohmm(
+                thi_ref[0, 1], oh_hi
+            )
+            Mall.append(
+                _redfbt_d(
+                    l0 * hv
+                    + 256.0 * _redfbt_d(l1 * hv, pf, hpf, ipf),
+                    pf, hpf, ipf,
+                )
+            )
+        pva = {}
+        for v in range(1, nv):
+            idxs = [i for i in range(g) if (v >> i) & 1]
+            cur = Mall[idxs[0]] - 1.0
+            for i in idxs[1:]:
+                cur = _fgmul_d(cur, Mall[i] - 1.0, pf, hpf, ipf)
+            pva[v] = _split256(cur)
+
+        # --- pointwise + subset combination per tile
+        conv_pi = [[None] * N1 for _ in range(kp1)]
+        for t in range(N1):
+            pvt = {
+                v: (
+                    pva[v][0][t * N2 : (t + 1) * N2],
+                    pva[v][1][t * N2 : (t + 1) * N2],
+                )
+                for v in range(1, nv)
+            }
+            splits = [_split256(fwd_pi[r][t]) for r in range(rows_tot)]
+            D = [[None, None, None] for _ in range(kp1)]
+            Nc = [[0, 0, 0] for _ in range(kp1)]
+            S = [[[None, None] for _ in range(kp1)] for _ in range(nv)]
+            for v in range(1, nv):
+                for c2 in range(kp1):
+                    base = (((v - 1) * kp1 + c2) * N1 + t) * rows_tot
+                    chk = bsk_ref[0, 0][:, base : base + rows_tot]
+                    slo = shi = None
+                    for r in range(rows_tot):
+                        b = jnp.broadcast_to(chk[:, r : r + 1], (N2, G))
+                        flo, fhi = splits[r]
+                        plo = flo * b
+                        phi = fhi * b
+                        slo = plo if slo is None else slo + plo
+                        shi = phi if shi is None else shi + phi
+                    S[v][c2][0], S[v][c2][1] = slo, shi
+            for v in range(1, nv):
+                for c2 in range(kp1):
+                    tlo_ = _redfbt_d(S[v][c2][0], pf, hpf, ipf)
+                    thi_ = _redfbt_d(S[v][c2][1], pf, hpf, ipf)
+                    d, nn = D[c2], Nc[c2]
+                    if d[1] is not None and nn[1] + 2 > dchunk_min:
+                        d[1] = _redfbt_d(d[1], pf, hpf, ipf)
+                        nn[1] = 0
+                    if d[0] is not None and nn[0] + 1 > dchunk_min:
+                        d[0] = _redfbt_d(d[0], pf, hpf, ipf)
+                        nn[0] = 0
+                    if d[2] is not None and nn[2] + 1 > dchunk_min:
+                        d[2] = _redfbt_d(d[2], pf, hpf, ipf)
+                        nn[2] = 0
+                    p0l, p1l = pvt[v]
+                    if d[0] is None:
+                        d[0] = p0l * tlo_
+                        d[1] = p1l * tlo_ + p0l * thi_
+                    else:
+                        d[0] = d[0] + p0l * tlo_
+                        d[1] = d[1] + p1l * tlo_ + p0l * thi_
+                    d[2] = (
+                        p1l * thi_
+                        if d[2] is None
+                        else d[2] + p1l * thi_
+                    )
+                    nn[0] += 1
+                    nn[1] += 2
+                    nn[2] += 1
+            for c2 in range(kp1):
+                d0, d1, d2 = D[c2]
+                if d2 is None:
+                    u = _redfbt_d(d1, pf, hpf, ipf)
+                else:
+                    u = _redfbt_d(
+                        d1
+                        + _redfb_d(
+                            256.0 * _redfbt_d(d2, pf, hpf, ipf), pf, ipf
+                        ),
+                        pf, hpf, ipf,
+                    )
+                conv_pi[c2][t] = _redfbt_d(
+                    d0 + _redfb_d(256.0 * u, pf, ipf), pf, hpf, ipf
+                )
+
+        # --- inverse NTT for this prime
+        xs2 = []
+        for t in range(N1):
+            stacked = jnp.concatenate(
+                [conv_pi[c][t] for c in range(kp1)], axis=1
+            )
+            ob = _mm128_bal_d(
+                stacked, w2fi_ref[0, t, 0], w2fi_ref[0, t, 1],
+                pf, hpf, ipf,
+            )
+            i32 = ob.astype(jnp.int32)
+            xs2.append(
+                jnp.where(i32 < 0, i32 + p_i, i32).astype(jnp.uint32)
+            )
+        xs3 = _fs_inv8_d(xs2, istw_ref, pi_id, p_u)
+
+        # --- accumulate CRT partial sums (crtacc semantics/order)
+        for c in range(kp1):
+            for t in range(N1):
+                r_ = xs3[t][:, c * G : (c + 1) * G]
+                ti = r_ * wmod
+                tf = r_.astype(jnp.int32).astype(jnp.float32) * frac
+                first = pi_id == 0
+                crt_i_scr[c, t] = jnp.where(
+                    first, ti, crt_i_scr[c, t] + ti
+                )
+                crt_f_scr[c, t] = jnp.where(
+                    first, tf, crt_f_scr[c, t] + tf
+                )
+
+        @pl.when(pi_id == NP - 1)
+        def _():
+            for c in range(kp1):
+                for t in range(N1):
+                    kq = (
+                        jnp.floor(crt_f_scr[c, t] + 0.5)
+                        .astype(jnp.int32)
+                        .astype(jnp.uint32)
+                    )
+                    acc_scr[c, t] = acc_scr[c, t] + (
+                        crt_i_scr[c, t] - kq * jnp.uint32(PROD_MOD)
+                    )
+
+        @pl.when((j == n // g - 1) & (pi_id == NP - 1))
+        def _():
+            out_ref[0] = acc_scr[...]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "g_tile", "interpret")
+)
+def blind_rotate_fs_ps(
+    params: TfheParams,
+    bsk,
+    lwe_in,
+    testv,
+    g_tile: int = 256,
+    interpret: bool = False,
+):
+    """Prime-split fs blind rotation (see _make_kernel_fs_ps); `bsk` must
+    be mxu_server_key_ps(dsk). Bit-identical to blind_rotate_fs_mb."""
+    from ..fhe import ops as fops
+
+    N, k, n = params.N, params.k, params.n
+    g = params.grouping
+    nv = 1 << g
+    groups = n // g
+    N2 = N // N1
+    kp1 = k + 1
+    rows = params.gadget_rows
+    tab = get_tables(N)
+    PRIMES = tuple(int(p) for p in tab.primes)
+    NP = len(PRIMES)
+    G = lwe_in.shape[0]
+    if testv.ndim == 1:
+        testv = testv[None, :]
+    if G % g_tile:
+        pad = g_tile - G % g_tile
+        lwe_in = jnp.concatenate(
+            [lwe_in, jnp.zeros((pad, n + 1), jnp.uint32)], axis=0
+        )
+        if testv.shape[0] != 1:
+            testv = jnp.concatenate(
+                [testv, jnp.zeros((pad, N), jnp.uint32)], axis=0
+            )
+    Gp = lwe_in.shape[0]
+    tiles = Gp // g_tile
+
+    fst = _fs_tables(N)
+    t_host = mxu_ntt.mxu_tables(N)
+    abar = fops.mod_switch(jnp, lwe_in[:, :n], N).astype(jnp.int32)
+    bbar = fops.mod_switch(jnp, lwe_in[:, n], N)
+    neg_b = (jnp.uint32(2 * N) - bbar) & jnp.uint32(2 * N - 1)
+    body = fops.negacyclic_rotate(
+        jnp, jnp.broadcast_to(testv, (Gp, N)), neg_b, N
+    )
+    body = body.reshape(tiles, g_tile, N1, N2)
+    body = jnp.transpose(body, (0, 2, 3, 1))[:, None]
+    acc0 = jnp.concatenate(
+        [jnp.zeros((tiles, k, N1, N2, g_tile), jnp.uint32), body], axis=1
+    )
+    abar_t = jnp.transpose(abar.reshape(tiles, g_tile, n), (0, 2, 1))
+
+    # per-prime scalar + twiddle operands (SMEM)
+    PROD = 1
+    for _p in PRIMES:
+        PROD *= _p
+    si = np.zeros((NP, 2), np.uint32)
+    sf = np.zeros((NP, 4), np.float32)
+    for pi, p in enumerate(PRIMES):
+        m = PROD // p
+        w = m * pow(m, -1, p)
+        si[pi, 0] = p
+        si[pi, 1] = w % (1 << 32)
+        sf[pi, 0] = 1.0 / p
+        sf[pi, 1] = float(w / PROD)
+        sf[pi, 2] = float(p)
+        sf[pi, 3] = float(p // 2)
+    stw_in = jnp.asarray(
+        np.stack(
+            [t_host["stage_tw"], t_host["stage_tw_sh"]], axis=1
+        ).astype(np.uint32)
+    )  # [NP, 2, LOG_N1, N1]
+    istw_in = jnp.asarray(
+        np.stack(
+            [t_host["istage_tw"], t_host["istage_tw_sh"]], axis=1
+        ).astype(np.uint32)
+    )
+
+    kernel = _make_kernel_fs_ps(params, g_tile)
+    LOW = min(64, 2 * N)
+    HBW = max(1, (2 * N) // LOW)
+    vc = (nv - 1) * kp1
+
+    def pmap(shape):
+        nd = len(shape) - 1
+        return pl.BlockSpec(
+            (1,) + shape[1:],
+            lambda i, j, pi, _nd=nd: (pi,) + (0,) * _nd,
+            memory_space=pltpu.VMEM,
+        )
+
+    def smap(shape):
+        # SMEM operands ship whole (tiny); the kernel indexes them with
+        # the traced pi — blocked SMEM specs hit TPU lowering shape
+        # constraints for these small shapes
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape, lambda i, j, pi, _nd=nd: (0,) * _nd,
+            memory_space=pltpu.SMEM,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(tiles, groups, NP),
+        in_specs=[
+            pl.BlockSpec(
+                (1, kp1, N1, N2, g_tile),
+                lambda i, j, pi: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n, g_tile), lambda i, j, pi: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pmap((NP, N1, 2, N2, N2)),
+            pmap((NP, N1, 2, N2, N2)),
+            pmap((NP, 2, N1 * N2, LOW)),
+            pmap((NP, 2, N1 * N2, HBW)),
+            smap((NP, 2, LOG_N1, N1)),
+            smap((NP, 2, LOG_N1, N1)),
+            smap((NP, 2)),
+            smap((NP, 4)),
+            pl.BlockSpec(
+                (1, 1, N2, vc * N1 * rows),
+                lambda i, j, pi: (j, pi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, kp1, N1, N2, g_tile),
+            lambda i, j, pi: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (tiles, kp1, N1, N2, g_tile), jnp.uint32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((kp1, N1, N2, g_tile), jnp.uint32),
+            pltpu.VMEM((rows, N1, N2, g_tile), jnp.int32),
+            pltpu.VMEM((kp1, N1, N2, g_tile), jnp.uint32),
+            pltpu.VMEM((kp1, N1, N2, g_tile), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(
+        acc0,
+        abar_t,
+        jnp.asarray(fst["w2f"], dtype=jnp.bfloat16),
+        jnp.asarray(fst["w2fi"], dtype=jnp.bfloat16),
+        jnp.asarray(fst["tlo"], dtype=jnp.bfloat16),
+        jnp.asarray(fst["thi"], dtype=jnp.bfloat16),
+        stw_in,
+        istw_in,
+        jnp.asarray(si),
+        jnp.asarray(sf),
+        bsk,
+    )
+    acc = jnp.transpose(out, (0, 4, 1, 2, 3)).reshape(Gp, kp1, N)
+    return acc[:G]
+
+
 @functools.lru_cache(maxsize=None)
 def _fs_tables(N: int):
     """Host-side twist and monomial tables in fs layout (numpy; cached).
@@ -2345,6 +2919,12 @@ def bootstrap_mxu(
         elif kn == "fs16":
             bsk = keys[0] if keys is not None else mxu_server_key_fs_i16(dsk)
             acc = blind_rotate_fs_mb(
+                dsk.params, bsk, lwe_in, testv,
+                g_tile=g_tile, interpret=interpret,
+            )
+        elif kn == "ps":
+            bsk = keys[0] if keys is not None else mxu_server_key_ps(dsk)
+            acc = blind_rotate_fs_ps(
                 dsk.params, bsk, lwe_in, testv,
                 g_tile=g_tile, interpret=interpret,
             )

@@ -95,7 +95,7 @@ def mb_kernel() -> str:
     All variants are bit-identical (tests/test_pallas.py) and kept as
     tested alternates / recorded negative results."""
     env = os.environ.get("HELM_TPU_MB_KERNEL")
-    if env in ("fs", "fs16", "ts", "hb", "hb2"):
+    if env in ("fs", "fs16", "ts", "hb", "hb2", "ps"):
         return env
     if os.environ.get("HELM_TPU_TS_KERNEL", "0") == "1":  # legacy knob
         return "ts"

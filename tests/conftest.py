@@ -13,20 +13,22 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 
-# Private per-session persistent-compilation-cache dir. Some tests run
-# entry points that call enable_compile_cache() in-process (serve.py),
-# which would otherwise point THIS process — and every later test — at
-# the repo-level .jax_cache shared with concurrently-running TPU spool /
-# bench processes. A full-suite run segfaulted inside the cache's native
-# read path (compilation_cache.get_executable_and_time) with that
-# sharing in place; a throwaway dir keeps the cache code exercised
-# without cross-process traffic. Subprocess children inherit it.
+# Persistent compilation cache: DISABLED for tests. Round 4 gave tests a
+# private throwaway dir (ruling out cross-process sharing with TPU spool
+# runs after a read-path segfault); a round-5 full-suite run then
+# segfaulted in the cache's native WRITE path
+# (compilation_cache.put_executable_and_time, during
+# test_pallas.py::test_halfg_matches_fs — hundreds of compilations into
+# the run), proving the native cache path itself is unsafe late in a
+# long-lived XLA:CPU process regardless of sharing. A per-run throwaway
+# dir provides NO caching benefit anyway (nothing persists across runs,
+# and within a run the in-memory jit cache already dedupes), so turning
+# it off costs nothing and removes the crash surface. The cache code is
+# still exercised by tests/test_aot_cache.py and by every real CLI /
+# bench / spool process. HELM_TPU_COMPILE_CACHE="" is the documented
+# disable convention (helm_tpu/compile_cache.py).
 if "HELM_TPU_COMPILE_CACHE" not in os.environ:
-    import tempfile
-
-    os.environ["HELM_TPU_COMPILE_CACHE"] = tempfile.mkdtemp(
-        prefix="helm_tpu_test_jax_cache_"
-    )
+    os.environ["HELM_TPU_COMPILE_CACHE"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -21,7 +21,10 @@ def fuzz_engine():
 
 @pytest.mark.parametrize("seed", [1, 2, 3])
 def test_random_circuit_encrypted_matches_oracle(fuzz_engine, seed):
-    src = random_levelized(f"fz{seed}", n_inputs=12, n_gates=48, n_outputs=6, seed=seed)
+    src = random_levelized(
+        f"fz{seed}", n_inputs=12, n_gates=48, n_outputs=6, seed=seed,
+        depth=8,
+    )
     nl = parse_verilog(src)
     c = Circuit.from_netlist(parse_verilog(src))
     e = fuzz_engine
@@ -96,7 +99,7 @@ def test_broad_sequential_fuzz(seed):
     from gen_circuits import random_sequential
 
     src = random_sequential(
-        f"sq{seed}", n_inputs=6, n_dffs=5, n_gates=40, seed=seed
+        f"sq{seed}", n_inputs=6, n_dffs=5, n_gates=40, seed=seed, depth=6
     )
     nl = parse_verilog(src)
     c = Circuit.from_netlist(parse_verilog(src))

@@ -400,6 +400,7 @@ def test_fs16_matches_fs():
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.slow  # perf-variant A/B: ~3 min of XLA:CPU compiles
 def test_fold_matches_fs():
     """The `fold` restructure (subset combination fused into the (v, c2)
     pointwise loop — drops the 24 stored S arrays from the live set)
@@ -460,6 +461,7 @@ def test_hb_blimb_matches_fs():
         np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.slow  # perf-variant A/B: ~3 min of XLA:CPU compiles
 def test_halfg_matches_fs():
     """The `halfg` probe (r-sum emitted per lane half-tile: identical
     elementwise ops on disjoint [N2, G/2] slices, half the per-value
@@ -483,6 +485,36 @@ def test_halfg_matches_fs():
         mxu_pbs.blind_rotate_fs_mb(
             p, bsk, jnp.asarray(ct), testv, g_tile=8, interpret=True,
             ablate="halfg",
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.slow  # perf-variant A/B: ~3 min of XLA:CPU compiles
+def test_ps_matches_fs():
+    """The prime-split kernel (CRT primes on the grid, per-prime SMEM
+    scalars, staged digits + running CRT partial sums) bit-equals the fs
+    kernel at the k=3 geometry — the round-5 emergent-program-size
+    restructure (PERFORMANCE.md)."""
+    from helm_tpu.ops import mxu_pbs
+
+    p = P.TEST_PARAMS_K3
+    ck = lwe.keygen(p, seed=51)
+    dsk = pbs_jnp.DeviceServerKey.from_host(server_key.gen_server_key(ck))
+    rng = np.random.default_rng(29)
+    bits = rng.integers(0, 2, 11).astype(bool)
+    ct = lwe.encrypt(ck, lwe.encode_bool(bits))
+    testv = jnp.asarray(pbs_jnp.gates_test_poly(p))
+    ref = np.asarray(
+        mxu_pbs.blind_rotate_fs_mb(
+            p, mxu_pbs.mxu_server_key_fs(dsk), jnp.asarray(ct), testv,
+            g_tile=8, interpret=True,
+        )
+    )
+    got = np.asarray(
+        mxu_pbs.blind_rotate_fs_ps(
+            p, mxu_pbs.mxu_server_key_ps(dsk), jnp.asarray(ct), testv,
+            g_tile=8, interpret=True,
         )
     )
     np.testing.assert_array_equal(got, ref)

@@ -51,6 +51,12 @@ if layout == "fs":
 elif layout == "fs16":  # balanced-int16 BSK slab (round-4 splat A/B)
     bsk_args = (mxu_pbs.mxu_server_key_fs_i16(dsk),)
     rot_fn = mxu_pbs.blind_rotate_fs_mb
+elif layout == "ps":  # prime-split grid kernel (round-5)
+    bsk_args = (mxu_pbs.mxu_server_key_ps(dsk),)
+
+    def rot_fn(p_, *a, ablate="", **kw):
+        assert ablate == "", "ps kernel has no ablate probes"
+        return mxu_pbs.blind_rotate_fs_ps(p_, *a, **kw)
 elif layout == "ts":
     from helm_tpu.ops import ts_pbs
 
