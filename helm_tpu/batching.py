@@ -36,9 +36,12 @@ the uniform-calibrated penalty predicts, while batch 4 adaptive =
 15% lane saving — narrow segments save less than lane-proportional,
 wide launches cost less than the uniform penalty. The two points pin an
 affine per-level cost for adaptive segments, cost(T tiles) =
-ADAPTIVE_TILE_LANES*T + ADAPTIVE_LEVEL_LANES (a 2-point calibration;
-adaptive batch 16 is queued as the out-of-sample test). Measured best:
-batch 12 at 26.68 s/block.
+ADAPTIVE_TILE_LANES*T + ADAPTIVE_LEVEL_LANES. Out-of-sample validation:
+adaptive batch 8 then measured 28.85 s/block vs 27.9 predicted (-3%),
+while the rival pow2-launch-width theory (from the c7552 tile sweep)
+predicted 24.6 (-15%) — the affine model stands, and its ranking
+batch 12 < 8 < 4 matches the measured 26.68 < 28.85 < 32.11 exactly.
+Measured best: batch 12 at 26.68 s/block.
 
 serve.py `--batch auto` and underfill warnings ride this model.
 """

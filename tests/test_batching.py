@@ -226,13 +226,19 @@ def test_aes_curve_model_v3():
     for b, meas in measured_uniform.items():
         p = pred(b, adaptive=False, maxc=48 if b == 8 else None) * scale
         assert abs(p - meas) / meas < 0.10, (b, p, meas)
-    # adaptive path: affine-in-tiles cost solved from the two measured
-    # adaptive points (batch 4 = 32.11, batch 12 = 26.68 s/block) — the
-    # model must reproduce both and rank batch 12 as the serving best
-    measured_adaptive = {4: 32.11, 12: 26.68}
+    # adaptive path: affine-in-tiles cost solved from the batch-4/12
+    # measurements (32.11 / 26.68 s/block); batch 8 (28.85) was then
+    # measured OUT-OF-SAMPLE and landed within 4% of the prediction,
+    # beating the rival pow2-width theory (24.6 predicted, 15% off) —
+    # the model must reproduce all three and rank batch 12 best
+    measured_adaptive = {4: 32.11, 8: 28.85, 12: 26.68}
     for b, meas in measured_adaptive.items():
         p = pred(b, adaptive=True) * scale
         assert abs(p - meas) / meas < 0.05, (b, p, meas)
-    assert pred(12, adaptive=True) < pred(4, adaptive=True)
+    assert (
+        pred(12, adaptive=True)
+        < pred(8, adaptive=True)
+        < pred(4, adaptive=True)
+    )
     # and the engine's own policy WOULD choose adaptive at both batches
     assert e._use_adaptive(12) and e._use_adaptive(4)
