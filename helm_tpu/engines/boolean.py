@@ -426,13 +426,16 @@ class BooleanEngine:
         2. queued WORK: AES batch 8 (128 levels x 2048 padded lanes =
            262k lane-levels per dispatch) crashed where batch 6 (196k)
            runs — cap chunk_levels x padded_lanes at
-           HELM_TPU_DISPATCH_LANES (default the known-good 196608 =
-           128 x 1536; round-4 spool runs bisect it further).
+           HELM_TPU_DISPATCH_LANES. Round-5 bisect (AES batch-8
+           shape, 2048 lanes): 90 levels x 2048 = 184320 runs CLEAN,
+           120 x 2048 = 245760 reproduces the TPU-worker crash — the
+           default is the measured-clean edge point 184320; the true
+           cliff lies in (184320, 245760].
         """
         from ..batching import tile_for
 
         maxc = int(os.environ.get("HELM_TPU_MAXC", "128"))
-        bound = int(os.environ.get("HELM_TPU_DISPATCH_LANES", "196608"))
+        bound = int(os.environ.get("HELM_TPU_DISPATCH_LANES", "184320"))
         S = max(
             (lp.slot_in.shape[0] for lp in self.plan.levels),
             default=1,
@@ -526,7 +529,7 @@ class BooleanEngine:
         w = [max(lp.slot_in.shape[0], self._min_slots, 1) for lp in lps]
         B = max(1, int(batch))
         maxc = int(os.environ.get("HELM_TPU_MAXC", "128"))
-        bound = int(os.environ.get("HELM_TPU_DISPATCH_LANES", "196608"))
+        bound = int(os.environ.get("HELM_TPU_DISPATCH_LANES", "184320"))
         lam = int(os.environ.get("HELM_TPU_CHUNK_LAMBDA", "1024"))
         # boundaries snap to multiples of QUANT (default 4): chunk lengths
         # then come from a small set, keeping the number of distinct

@@ -88,13 +88,14 @@ def test_fused_counts_noop_pad_levels():
 
 def test_dispatch_bound_auto_clamp(monkeypatch):
     """Chunk length derives from BOTH crash bounds: the 128-level scan cap
-    and the queued-work cap chunk_levels x padded_lanes <= 196608 (the
-    known-good AES batch-6 point) — so wide batches get shorter scans
-    automatically instead of the fixed MAXC that let batch 8 crash."""
+    and the queued-work cap chunk_levels x padded_lanes <= 184320 (the
+    round-5 bisected clean edge: 184320 runs, 245760 crashes) — so wide
+    batches get shorter scans automatically instead of the fixed MAXC
+    that let batch 8 crash."""
     e = _engine(fuse=True)  # S=4 -> 128-lane tile at small batches
     assert e._max_chunk_levels(1) == 128  # length cap binds
-    # batch 4096: 16384 padded lanes -> 196608//16384 = 12 levels max
-    assert e._max_chunk_levels(4096) == 12
+    # batch 4096: 16384 padded lanes -> 184320//16384 = 11 levels max
+    assert e._max_chunk_levels(4096) == 11
     monkeypatch.setenv("HELM_TPU_DISPATCH_LANES", "32768")
     assert e._max_chunk_levels(4096) == 2
     monkeypatch.setenv("HELM_TPU_MAXC", "64")
