@@ -35,13 +35,14 @@ the uniform-calibrated penalty predicts, while batch 4 adaptive =
 32.11 s/block (vs 32.89 uniform) captures almost NONE of its predicted
 15% lane saving — narrow segments save less than lane-proportional,
 wide launches cost less than the uniform penalty. The two points pin an
-affine per-level cost for adaptive segments, cost(T tiles) =
-ADAPTIVE_TILE_LANES*T + ADAPTIVE_LEVEL_LANES. Out-of-sample validation:
-adaptive batch 8 then measured 28.85 s/block vs 27.9 predicted (-3%),
-while the rival pow2-launch-width theory (from the c7552 tile sweep)
-predicted 24.6 (-15%) — the affine model stands, and its ranking
-batch 12 < 8 < 4 matches the measured 26.68 < 28.85 < 32.11 exactly.
-Measured best: batch 12 at 26.68 s/block.
+quadratic per-level cost for adaptive segments (constants below).
+History: a 2-point affine fit predicted the out-of-sample batch-8 point
+within 3% (beating the rival pow2-launch-width theory, 15% off) but
+extrapolated optimistically past batch 12 — batch 16 measured 28.67
+vs 25.9 predicted. The quadratic refit over all four adaptive points
+captures the basin (minimum around batch 8-12, rising beyond 16), and
+`suggest_batch`'s 2%-tie-prefer-larger rule then picks batch 12 — the
+measured serving best at 26.68 s/block.
 
 serve.py `--batch auto` and underfill warnings ride this model.
 """
@@ -70,13 +71,17 @@ def tile_penalty(tiles: int) -> float:
 
 
 #: ADAPTIVE-path per-level cost in lane-equivalents: cost(T tiles) =
-#: ADAPTIVE_TILE_LANES * T + ADAPTIVE_LEVEL_LANES. Solved exactly from
-#: the two measured adaptive AES points (batch 4 = 32.11 s/block with
-#: tile-profile {2: 204, 1: 154} levels; batch 12 = 26.68 with
-#: {6: 204, 3: 140, 2: 14}), in the same units as the uniform model
-#: (uniform batch 4 = 32.89 s/block = 1536 lane-equivalents/level).
-ADAPTIVE_TILE_LANES = 727.0
-ADAPTIVE_LEVEL_LANES = 369.0
+#: ADAPTIVE_TILE_LANES*T + ADAPTIVE_TILE2_LANES*T^2 +
+#: ADAPTIVE_LEVEL_LANES. Least-squares over the FOUR measured adaptive
+#: AES points (batch 4/8/12/16 = 32.11/28.85/26.68/28.67 s/block; all
+#: within +-4.4%): the batch-16 measurement showed the earlier
+#: affine-in-tiles fit extrapolates optimistically past batch 12 — the
+#: real curve has a basin at 8-16 and rises beyond it, captured by the
+#: quadratic term. Units match the uniform model (uniform batch 4 =
+#: 32.89 s/block = 1536 lane-equivalents/level).
+ADAPTIVE_TILE_LANES = 470.0
+ADAPTIVE_TILE2_LANES = 40.4
+ADAPTIVE_LEVEL_LANES = 702.0
 
 
 def tile_for(params: TfheParams, width: int, interpret: bool = False) -> int:
@@ -154,9 +159,13 @@ def predicted_cost_per_vector(engine, batch: int) -> tuple[float, float]:
         num += B * real
         den += launched
         if adaptive:
-            # measured adaptive-path cost is affine in tiles, not
+            # measured adaptive-path cost is quadratic in tiles, not
             # lane-proportional (module docstring)
-            cost += ADAPTIVE_TILE_LANES * tiles + ADAPTIVE_LEVEL_LANES
+            cost += (
+                ADAPTIVE_TILE_LANES * tiles
+                + ADAPTIVE_TILE2_LANES * tiles * tiles
+                + ADAPTIVE_LEVEL_LANES
+            )
         else:
             cost += launched * tile_penalty(tiles) + OVERHEAD_LANES
     return cost / B, (num / den if den else 1.0)
