@@ -58,15 +58,21 @@ OVERHEAD_LANES = 512
 
 def tile_penalty(tiles: int) -> float:
     """UNIFORM-path per-lane cost multiplier by launch width in 512-lane
-    tiles. Calibrated on the measured uniform AES-128 batch curve
-    (module docstring): batch 6 (3 tiles) implies 1.56, batches 8 and
-    12 (4 and 6 tiles) imply 1.71 and 1.69. The mechanism is
-    unconfirmed (c7552 batch discriminator queued); the table is
-    measured behavior, not a theory."""
+    tiles, calibrated on the measured uniform AES-128 batch curve
+    (module docstring): batch 6 (3 tiles, 1536 lanes) implies 1.56,
+    batch 8 (4 tiles, 2048 lanes) implies 1.30 at the clean 90-level
+    chunking (the round-5 bisect run, 34.02 s/block — the round-4
+    43.04 was measured at 45-level chunks and is chunk-confounded),
+    batch 12 (6 tiles) implies 1.69. Non-monotonic in tiles but
+    consistent with the c7552 discriminator's finding that
+    power-of-two launch widths (2048) pay less than non-pow2 ones
+    (1536/3072). A lookup of measured behavior, not a theory."""
     if tiles <= 2:
         return 1.0
     if tiles == 3:
         return 1.56
+    if tiles == 4:
+        return 1.30
     return 1.70
 
 

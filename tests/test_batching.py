@@ -201,8 +201,12 @@ def test_aes_curve_model_v3():
         fuse_levels=True,
     )
     e.compile(nl)
+    # batch 8 uses the CLEAN 90-level-chunk measurement from the round-5
+    # bisect run (34.02 s/block); the round-4 43.04 was measured at
+    # 45-level chunks (the crash-diagnosis MAXC=48 configuration) and is
+    # chunk-confounded
     measured_uniform = {1: 65.41, 2: 40.60, 4: 32.89, 6: 41.45,
-                       8: 43.04, 12: 40.89}
+                       8: 34.02, 12: 40.89}
 
     def pred(b, adaptive, maxc=None):
         env = {}
@@ -221,11 +225,11 @@ def test_aes_curve_model_v3():
                     os.environ[k] = v
         return c
 
-    # one scale factor from the batch-4 anchor; batch 8 was measured at
-    # MAXC=48 (the crash-diagnosis run)
+    # one scale factor from the batch-4 anchor; batch 8's clean
+    # measurement ran at the (now default) 90-level chunking
     scale = measured_uniform[4] / pred(4, adaptive=False)
     for b, meas in measured_uniform.items():
-        p = pred(b, adaptive=False, maxc=48 if b == 8 else None) * scale
+        p = pred(b, adaptive=False) * scale
         assert abs(p - meas) / meas < 0.10, (b, p, meas)
     # adaptive path: quadratic-in-tiles cost least-squared over ALL four
     # measured adaptive points (batch 16 falsified the earlier affine
