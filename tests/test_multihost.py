@@ -44,7 +44,11 @@ def _run_two_process(mode: str) -> dict:
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=540)
+        # generous hang guard: the workers take ~30 s idle but a
+        # concurrent keygen/compile on the 4 vCPUs stretched one
+        # full-suite run past 540 s (round 5) — the limit exists to
+        # catch collective deadlocks, not load
+        out, _ = p.communicate(timeout=1500)
         outs.append(out)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
